@@ -264,7 +264,8 @@ class TestSparseVec:
         b = SparseVec.from_text("{1:2}/3")
         c = SparseVec.from_text("{2:1}/3")
         assert a < b
-        assert a < c  # a has idx0=1 >0 value → a > dense-zero... (ref semantics)
+        # dense order: {1:1} = [1,0,0] > [0,1,0] = {2:1}
+        assert c < a
         assert a.compare(a) == 0
         # negative value before a gap sorts first
         d = SparseVec.from_text("{1:-1}/3")
