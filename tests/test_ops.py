@@ -1,0 +1,151 @@
+"""Device distance-kernel tests: batched kernels vs scalar type functions."""
+
+import numpy as np
+import pytest
+
+from pgvector_rx_tpu.ops import bits, distances, sparse, topk
+from pgvector_rx_tpu.types import SparseVec, bitvec, vector
+
+
+class TestDenseDistances:
+    @pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
+    def test_pairwise_matches_scalar(self, metric, rng):
+        base = rng.standard_normal((50, 16)).astype(np.float32)
+        queries = rng.standard_normal((7, 16)).astype(np.float32)
+        if metric == "cosine":
+            base = base / np.linalg.norm(base, axis=1, keepdims=True)
+            queries = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        got = np.asarray(distances.pairwise(metric, base, queries))
+        scalar = {
+            "l2": vector.l2_squared_distance,
+            "ip": vector.negative_inner_product,
+            "cosine": vector.cosine_distance,
+            "l1": vector.l1_distance,
+        }[metric]
+        # pairwise l2 uses the MXU expansion formula -> looser tolerance
+        rel = 2e-3 if metric == "l2" else 1e-4
+        for b in range(7):
+            for n in range(0, 50, 7):
+                assert got[b, n] == pytest.approx(
+                    scalar(queries[b], base[n]), rel=rel, abs=1e-5
+                )
+
+    @pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
+    def test_gathered_matches_pairwise(self, metric, rng):
+        base = rng.standard_normal((50, 16)).astype(np.float32)
+        queries = rng.standard_normal((4, 16)).astype(np.float32)
+        if metric == "cosine":
+            base = base / np.linalg.norm(base, axis=1, keepdims=True)
+            queries = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        ids = rng.integers(0, 50, size=(4, 9)).astype(np.int32)
+        got = np.asarray(distances.gathered(metric, base, ids, queries))
+        scalar = {
+            "l2": vector.l2_squared_distance,
+            "ip": vector.negative_inner_product,
+            "cosine": vector.cosine_distance,
+            "l1": vector.l1_distance,
+        }[metric]
+        for b in range(4):
+            for k in range(9):
+                assert got[b, k] == pytest.approx(
+                    scalar(queries[b], base[ids[b, k]]), rel=1e-5, abs=1e-6
+                )
+
+
+class TestBitDistances:
+    @pytest.mark.parametrize("metric", ["hamming", "jaccard"])
+    def test_matches_scalar(self, metric, rng):
+        nbits = 77
+        base_bits = rng.integers(0, 2, size=(30, nbits))
+        query_bits = rng.integers(0, 2, size=(5, nbits))
+        bw = bits.pack_bits(base_bits)
+        qw = bits.pack_bits(query_bits)
+        got = np.asarray(bits.pairwise(metric, bw, qw))
+        scalar = bitvec.hamming_distance if metric == "hamming" else bitvec.jaccard_distance
+        for b in range(5):
+            for n in range(0, 30, 7):
+                assert got[b, n] == pytest.approx(scalar(query_bits[b], base_bits[n]))
+
+    def test_pack_roundtrip(self, rng):
+        b = rng.integers(0, 2, size=(3, 100))
+        assert np.array_equal(bits.unpack_bits(bits.pack_bits(b), 100), b)
+
+    def test_gathered(self, rng):
+        base_bits = rng.integers(0, 2, size=(30, 64))
+        query_bits = rng.integers(0, 2, size=(4, 64))
+        bw, qw = bits.pack_bits(base_bits), bits.pack_bits(query_bits)
+        ids = rng.integers(0, 30, size=(4, 6)).astype(np.int32)
+        allp = np.asarray(bits.pairwise("jaccard", bw, qw))
+        got = np.asarray(bits.gathered("jaccard", bw, ids, qw))
+        np.testing.assert_allclose(got, np.take_along_axis(allp, ids, axis=1), rtol=1e-6)
+
+
+class TestSparseDistances:
+    @pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
+    def test_matches_scalar(self, metric, rng):
+        dim, budget = 200, 32
+        rows = []
+        for _ in range(20):
+            dense = rng.standard_normal(dim).astype(np.float32)
+            dense[rng.random(dim) < 0.9] = 0.0
+            rows.append(SparseVec.from_dense(dense))
+        bi, bv = sparse.pad_rows(rows, budget)
+        qi, qv = sparse.pad_rows(rows[:4], budget)
+        got = np.asarray(sparse.pairwise(metric, bi, bv, qi, qv))
+        from pgvector_rx_tpu.types import sparsevec as sv
+
+        scalar = {
+            "l2": sv.l2_squared_distance,
+            "ip": sv.negative_inner_product,
+            "cosine": sv.cosine_distance,
+            "l1": sv.l1_distance,
+        }[metric]
+        for b in range(4):
+            for n in range(0, 20, 3):
+                assert got[b, n] == pytest.approx(
+                    scalar(rows[b], rows[n]), rel=1e-4, abs=1e-5
+                )
+
+    def test_gathered_matches_pairwise(self, rng):
+        dim, budget = 100, 16
+        rows = []
+        for _ in range(15):
+            dense = rng.standard_normal(dim).astype(np.float32)
+            dense[rng.random(dim) < 0.9] = 0.0
+            rows.append(SparseVec.from_dense(dense))
+        bi, bv = sparse.pad_rows(rows, budget)
+        qi, qv = sparse.pad_rows(rows[:3], budget)
+        ids = rng.integers(0, 15, size=(3, 5)).astype(np.int32)
+        allp = np.asarray(sparse.pairwise("l2", bi, bv, qi, qv))
+        got = np.asarray(sparse.gathered("l2", bi, bv, ids, qi, qv))
+        np.testing.assert_allclose(got, np.take_along_axis(allp, ids, axis=1), rtol=1e-5)
+
+
+class TestTopk:
+    def test_topk_smallest(self, rng):
+        d = rng.random((3, 20)).astype(np.float32)
+        ids = np.tile(np.arange(20, dtype=np.int32), (3, 1))
+        td, ti = topk.topk_smallest(d, ids, 5)
+        want = np.sort(d, axis=1)[:, :5]
+        np.testing.assert_allclose(np.asarray(td), want, rtol=1e-6)
+
+    def test_merge_beams_deterministic_ties(self):
+        import jax.numpy as jnp
+
+        beam_d = jnp.array([[1.0, 2.0]])
+        beam_ids = jnp.array([[5, 7]], dtype=jnp.int32)
+        new_d = jnp.array([[1.0, 0.5]])
+        new_ids = jnp.array([[3, 9]], dtype=jnp.int32)
+        d, (ids,) = topk.merge_beams(beam_d, (beam_ids,), new_d, (new_ids,), 3)
+        assert d.tolist() == [[0.5, 1.0, 1.0]]
+        # tie at 1.0 broken by lower id
+        assert ids.tolist() == [[9, 3, 5]]
+
+    def test_sort_beam_unique(self):
+        import jax.numpy as jnp
+
+        d = jnp.array([[0.5, 0.2, 0.5, 0.9]])
+        ids = jnp.array([[4, 1, 4, 2]], dtype=jnp.int32)
+        sd, si = topk.sort_beam(d, ids, 4, unique_by_id=True)
+        assert si.tolist()[0][:3] == [1, 4, 2]
+        assert np.isinf(np.asarray(sd)[0, 3])
