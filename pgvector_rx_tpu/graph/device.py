@@ -1,0 +1,474 @@
+"""Device (JAX/XLA) HNSW graph: flat arrays + batched beam search.
+
+This is the TPU-native replacement for the reference's page-at-a-time
+on-disk search (scan.rs:302-448): the graph lives in HBM as
+
+- ``neighbors0 [cap+1, 2M] int32``  — ground-layer adjacency, -1 padded
+  (the hot array; one row per element, analog of the layer-0 slots of
+  the neighbor tuple, types/hnsw.rs:152-169)
+- ``upper_neighbors [U, LMAX, M] int32`` — compacted upper layers; only
+  ~N/M elements have level >= 1 (P(level>=1) = 1/M under the geometric
+  level rule, hnsw_constants.rs:132), so upper layers are stored
+  separately from the hot ground layer
+- ``upper_slot [cap+1] int32`` — element id -> row in upper_neighbors
+- value arrays per kind (dense rows / packed bit words / padded CSR)
+- ``traversable [cap+1] bool`` — live (not vacuum-deleted) elements
+- ``emit_tid [cap+1] int64`` / ``tid_count [cap+1] int32`` — first heap
+  TID and TID count per element (duplicate handling, 10-TID cap)
+
+Search is a batched multi-query beam: each step expands the best
+unexpanded beam member, gathers its <=2M neighbors, computes distances
+in one fused gather+dot, and merges via a single sort — HNSW Algorithm 2
+restructured as fixed-shape tensor ops (the TPU-KNN "beam with masking"
+formulation). Termination matches graph/mod.rs:186-192: stop when the
+nearest unexpanded candidate is farther than the furthest result.
+Everything is jit-compiled; per-query control flow uses lax.while_loop
+(vmapped, so finished queries freeze while stragglers run).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import hnsw_get_layer_m
+
+_INT_MAX = np.int32(2**31 - 1)
+
+
+@dataclass
+class DeviceGraph:
+    """Flat-array mirror of a host index (device-resident, immutable)."""
+
+    kind: str
+    metric: str
+    cap: int  # number of element slots (arrays padded to cap+1)
+    m: int
+    entry: int  # -1 if empty
+    entry_level: int
+    neighbors0: jax.Array  # [cap+1, 2M] int32
+    upper_neighbors: jax.Array  # [U, LMAX, M] int32
+    upper_slot: jax.Array  # [cap+1] int32
+    levels: jax.Array  # [cap+1] int32
+    traversable: jax.Array  # [cap+1] bool
+    emit_tid: jax.Array  # [cap+1] int64
+    tid_count: jax.Array  # [cap+1] int32
+    # value arrays (dense: values; bit: words; sparse: sp_indices/sp_values)
+    values: jax.Array | None = None
+    words: jax.Array | None = None
+    sp_indices: jax.Array | None = None
+    sp_values: jax.Array | None = None
+
+    @classmethod
+    def from_index(cls, index) -> "DeviceGraph":
+        n = len(index.elements)
+        m = index.params.m
+        lm0 = hnsw_get_layer_m(m, 0)
+
+        neighbors0 = np.full((n + 1, lm0), -1, dtype=np.int32)
+        levels = np.full(n + 1, -1, dtype=np.int32)
+        traversable = np.zeros(n + 1, dtype=bool)
+        emit_tid = np.full(n + 1, -1, dtype=np.int64)
+        tid_count = np.zeros(n + 1, dtype=np.int32)
+
+        upper_rows = []
+        upper_slot = np.full(n + 1, -1, dtype=np.int32)
+        lmax = max((e.level for e in index.elements), default=0)
+        lmax = max(lmax, 1)
+
+        for i, e in enumerate(index.elements):
+            levels[i] = e.level
+            traversable[i] = not e.deleted
+            tids = index.heap_tids[i]
+            tid_count[i] = len(tids)
+            if tids:
+                emit_tid[i] = tids[0]
+            if e.deleted:
+                continue
+            l0 = e.neighbors[0] if e.neighbors else []
+            for j, (_, nid) in enumerate(l0[:lm0]):
+                neighbors0[i, j] = nid
+            if e.level >= 1:
+                upper_slot[i] = len(upper_rows)
+                row = np.full((lmax, m), -1, dtype=np.int32)
+                for lc in range(1, e.level + 1):
+                    for j, (_, nid) in enumerate(e.neighbors[lc][:m]):
+                        row[lc - 1, j] = nid
+                upper_rows.append(row)
+
+        upper_neighbors = (
+            np.stack(upper_rows)
+            if upper_rows
+            else np.full((1, lmax, m), -1, dtype=np.int32)
+        )
+
+        kwargs = {}
+        if index.kind == "dense":
+            vals = np.zeros((n + 1, index.dim), dtype=np.float32)
+            vals[:n] = index.store.rows[:n].astype(np.float32)
+            kwargs["values"] = jnp.asarray(vals)
+        elif index.kind == "bit":
+            from ..ops.bits import pack_bits
+
+            bits_unpacked = np.unpackbits(index.store.rows[:n], axis=1)
+            words = pack_bits(bits_unpacked) if n else np.zeros((0, 1), np.uint32)
+            w = words.shape[1] if n else (index.dim + 31) // 32
+            padded = np.zeros((n + 1, w), dtype=np.uint32)
+            if n:
+                padded[:n] = words
+            kwargs["words"] = jnp.asarray(padded)
+        else:
+            si = np.full((n + 1, index.store.budget), _INT_MAX, dtype=np.int32)
+            sv = np.zeros((n + 1, index.store.budget), dtype=np.float32)
+            si[:n] = index.store.indices[:n]
+            sv[:n] = index.store.values[:n]
+            kwargs["sp_indices"] = jnp.asarray(si)
+            kwargs["sp_values"] = jnp.asarray(sv)
+
+        entry = index.entry if index.entry is not None else -1
+        entry_level = (
+            index.elements[index.entry].level if index.entry is not None else -1
+        )
+        return cls(
+            kind=index.kind,
+            metric=index.metric,
+            cap=n,
+            m=m,
+            entry=entry,
+            entry_level=entry_level,
+            neighbors0=jnp.asarray(neighbors0),
+            upper_neighbors=jnp.asarray(upper_neighbors),
+            upper_slot=jnp.asarray(upper_slot),
+            levels=jnp.asarray(levels),
+            traversable=jnp.asarray(traversable),
+            emit_tid=jnp.asarray(emit_tid),
+            tid_count=jnp.asarray(tid_count),
+            **kwargs,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Distance dispatch (single query row vs a gathered id set)
+# ---------------------------------------------------------------------------
+
+
+def _dist_ids(g: DeviceGraph, q, ids):
+    """Order-distances from one query to graph rows `ids` (any shape)."""
+    safe = jnp.clip(ids, 0, g.cap)
+    if g.kind == "dense":
+        cand = g.values[safe]
+        if g.metric == "l2":
+            d = cand - q
+            return jnp.sum(d * d, axis=-1)
+        dots = jnp.sum(cand * q, axis=-1)
+        if g.metric == "ip":
+            return -dots
+        if g.metric == "cosine":
+            return 1.0 - jnp.clip(dots, -1.0, 1.0)
+        if g.metric == "l1":
+            return jnp.sum(jnp.abs(cand - q), axis=-1)
+    if g.kind == "bit":
+        cand = g.words[safe]
+        xor_pop = jnp.sum(
+            jax.lax.population_count(jnp.bitwise_xor(cand, q)), axis=-1
+        ).astype(jnp.float32)
+        if g.metric == "hamming":
+            return xor_pop
+        ab = jnp.sum(
+            jax.lax.population_count(jnp.bitwise_and(cand, q)), axis=-1
+        ).astype(jnp.float32)
+        aa = jnp.sum(jax.lax.population_count(q), axis=-1).astype(jnp.float32)
+        bb = jnp.sum(jax.lax.population_count(cand), axis=-1).astype(jnp.float32)
+        union = aa + bb - ab
+        return jnp.where(ab == 0.0, 1.0, 1.0 - ab / jnp.where(union > 0, union, 1.0))
+    if g.kind == "sparse":
+        qi, qv = q
+        ci = g.sp_indices[safe]
+        cv = g.sp_values[safe]
+        return _sparse_dist(g.metric, qi, qv, ci, cv)
+    raise ValueError(f"bad kind {g.kind}")
+
+
+def _sparse_dist(metric, qi, qv, ci, cv):
+    """Batched sparse order-distance; ci/cv [..., P], qi/qv [P]."""
+    P = qi.shape[-1]
+
+    def match(ci_row, cv_row):
+        p = jnp.searchsorted(ci_row, qi)
+        pc = jnp.minimum(p, P - 1)
+        found = (p < P) & (ci_row[pc] == qi) & (qi != _INT_MAX)
+        return jnp.where(found, cv_row[pc], 0.0), found
+
+    flat_ci = ci.reshape(-1, P)
+    flat_cv = cv.reshape(-1, P)
+    mcv, found = jax.vmap(match)(flat_ci, flat_cv)
+    dot = jnp.sum(qv[None, :] * mcv, axis=-1)
+    c_sq = jnp.sum(flat_cv * flat_cv, axis=-1)
+    q_sq = jnp.sum(qv * qv)
+    if metric == "l2":
+        out = jnp.maximum(q_sq + c_sq - 2.0 * dot, 0.0)
+    elif metric == "ip":
+        out = -dot
+    elif metric == "cosine":
+        denom = jnp.sqrt(q_sq * c_sq)
+        sim = jnp.where(denom > 0, dot / jnp.where(denom > 0, denom, 1.0), 0.0)
+        out = 1.0 - jnp.clip(sim, -1.0, 1.0)
+    elif metric == "l1":
+        q_abs = jnp.sum(jnp.abs(qv))
+        c_abs = jnp.sum(jnp.abs(flat_cv), axis=-1)
+        corr = jnp.sum(
+            jnp.where(found, jnp.abs(qv[None, :] - mcv) - jnp.abs(qv[None, :]) - jnp.abs(mcv), 0.0),
+            axis=-1,
+        )
+        out = q_abs + c_abs + corr
+    else:
+        raise ValueError(metric)
+    return out.reshape(ci.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Batched beam search (jitted)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_descent(g: DeviceGraph, q, entry_id, entry_dist, layer: int):
+    """ef=1 greedy search at an upper layer (scan.rs:492-510 analog)."""
+
+    def cond(state):
+        _, _, moved = state
+        return moved
+
+    def body(state):
+        cur, cur_d, _ = state
+        slot = g.upper_slot[cur]
+        nbrs = g.upper_neighbors[jnp.maximum(slot, 0), layer - 1]  # [M]
+        valid = (nbrs >= 0) & (slot >= 0) & g.traversable[jnp.clip(nbrs, 0, g.cap)]
+        d = _dist_ids(g, q, nbrs)
+        d = jnp.where(valid, d, jnp.inf)
+        best = jnp.argmin(d)
+        best_d = d[best]
+        moved = best_d < cur_d
+        new_cur = jnp.where(moved, nbrs[best], cur)
+        new_d = jnp.where(moved, best_d, cur_d)
+        return new_cur, new_d, moved
+
+    cur, cur_d, _ = jax.lax.while_loop(
+        cond, body, (entry_id, entry_dist, jnp.bool_(True))
+    )
+    return cur, cur_d
+
+
+def _ground_beam(g: DeviceGraph, q, entry_id, entry_dist, ef: int, max_steps: int):
+    """Beam search at layer 0 with beam size ef (single query; vmapped).
+
+    Returns (beam_d [ef], beam_ids [ef]) sorted nearest first, plus the
+    visited bitmap row and step count (stats / iterative-scan reuse).
+    """
+    lm0 = g.neighbors0.shape[1]
+
+    beam_d = jnp.full((ef,), jnp.inf, dtype=jnp.float32).at[0].set(entry_dist)
+    beam_ids = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(entry_id)
+    beam_exp = jnp.ones((ef,), dtype=jnp.int32).at[0].set(0)  # 1 = expanded/pad
+    visited = jnp.zeros((g.cap + 1,), dtype=jnp.bool_).at[entry_id].set(True)
+
+    def cond(state):
+        beam_d, beam_ids, beam_exp, visited, steps = state
+        unexp_d = jnp.where(beam_exp == 1, jnp.inf, beam_d)
+        best = jnp.min(unexp_d)
+        furthest = jnp.max(beam_d)  # inf while not full -> keep going
+        return (best <= furthest) & jnp.isfinite(best) & (steps < max_steps)
+
+    def body(state):
+        beam_d, beam_ids, beam_exp, visited, steps = state
+        unexp_d = jnp.where(beam_exp == 1, jnp.inf, beam_d)
+        pos = jnp.argmin(unexp_d)
+        u = beam_ids[pos]
+        beam_exp = beam_exp.at[pos].set(1)
+
+        nbrs = g.neighbors0[jnp.maximum(u, 0)]  # [2M]
+        safe = jnp.clip(nbrs, 0, g.cap)
+        mask = (nbrs >= 0) & ~visited[safe] & g.traversable[safe]
+        visited = visited.at[jnp.where(nbrs >= 0, nbrs, g.cap)].set(True)
+
+        d_new = _dist_ids(g, q, nbrs)
+        d_new = jnp.where(mask, d_new, jnp.inf)
+        ids_new = jnp.where(mask, nbrs, -1)
+        exp_new = jnp.where(mask, 0, 1)
+
+        all_d = jnp.concatenate([beam_d, d_new])
+        all_ids = jnp.concatenate([beam_ids, ids_new])
+        all_exp = jnp.concatenate([beam_exp, exp_new])
+        sd, sids, sexp = jax.lax.sort([all_d, all_ids, all_exp], num_keys=2)
+        return (sd[:ef], sids[:ef], sexp[:ef], visited, steps + 1)
+
+    beam_d, beam_ids, beam_exp, visited, steps = jax.lax.while_loop(
+        cond, body, (beam_d, beam_ids, beam_exp, visited, jnp.int32(0))
+    )
+    sd, sids = jax.lax.sort([beam_d, beam_ids], num_keys=2)
+    return sd, sids, steps
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "entry_level", "max_steps")
+)
+def _search_batch(g: DeviceGraph, queries, ef: int, entry_level: int, max_steps: int):
+    """Full Algorithm-5 search for a batch of prepared queries."""
+
+    def one(q):
+        entry = jnp.int32(g.entry)
+        d0 = _dist_ids(g, q, entry[None])[0]
+        cur, cur_d = entry, d0
+        for layer in range(entry_level, 0, -1):
+            cur, cur_d = _greedy_descent(g, q, cur, cur_d, layer)
+        return _ground_beam(g, q, cur, cur_d, ef, max_steps)
+
+    return jax.vmap(one)(queries)
+
+
+jax.tree_util.register_pytree_node(
+    DeviceGraph,
+    lambda g: (
+        (
+            g.neighbors0,
+            g.upper_neighbors,
+            g.upper_slot,
+            g.levels,
+            g.traversable,
+            g.emit_tid,
+            g.tid_count,
+            g.values,
+            g.words,
+            g.sp_indices,
+            g.sp_values,
+        ),
+        (g.kind, g.metric, g.cap, g.m, g.entry, g.entry_level),
+    ),
+    lambda aux, children: DeviceGraph(
+        kind=aux[0],
+        metric=aux[1],
+        cap=aux[2],
+        m=aux[3],
+        entry=aux[4],
+        entry_level=aux[5],
+        neighbors0=children[0],
+        upper_neighbors=children[1],
+        upper_slot=children[2],
+        levels=children[3],
+        traversable=children[4],
+        emit_tid=children[5],
+        tid_count=children[6],
+        values=children[7],
+        words=children[8],
+        sp_indices=children[9],
+        sp_values=children[10],
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
+def prepare_queries(index, qlist):
+    """Canonicalize queries to stacked device inputs."""
+    prepped = [index.prepare_value(q) for q in qlist]
+    if index.kind == "dense":
+        rows = [
+            (p if p is not None else np.zeros(index.dim, dtype=np.float32)).astype(
+                np.float32
+            )
+            for p in prepped
+        ]
+        return jnp.asarray(np.stack(rows))
+    if index.kind == "bit":
+        from ..ops.bits import pack_bits
+
+        bits = np.stack(
+            [np.unpackbits(np.asarray(p, dtype=np.uint8))[: index.dim] for p in prepped]
+        )
+        return jnp.asarray(pack_bits(bits))
+    # sparse: pad to store budget
+    P = index.store.budget
+    qi = np.full((len(prepped), P), _INT_MAX, dtype=np.int32)
+    qv = np.zeros((len(prepped), P), dtype=np.float32)
+    for r, p in enumerate(prepped):
+        if p is None:
+            continue
+        idx, val = p
+        qi[r, : len(idx)] = idx
+        qv[r, : len(val)] = val
+    return jnp.asarray(qi), jnp.asarray(qv)
+
+
+def search(index, qlist, k: int, params):
+    """Batched device k-NN -> (order-dists [B,k] f64, heap ids [B,k])."""
+    g = index.device_graph()
+    B = len(qlist)
+    if g.entry < 0 or B == 0:
+        return (
+            np.full((B, k), np.inf, dtype=np.float64),
+            np.full((B, k), -1, dtype=np.int64),
+        )
+    queries = prepare_queries(index, qlist)
+    ef = max(params.ef_search, 1)
+    max_steps = 4 * ef + 32
+    if index.kind == "sparse":
+        qtuple = queries
+        beam_d, beam_ids, _ = jax.vmap(
+            lambda qi, qv: _search_one_sparse(g, (qi, qv), ef, max_steps)
+        )(qtuple[0], qtuple[1])
+    else:
+        beam_d, beam_ids, _ = _search_batch(
+            g, queries, ef, g.entry_level, max_steps
+        )
+    beam_d = np.asarray(beam_d, dtype=np.float64)
+    beam_ids = np.asarray(beam_ids)
+
+    tid_count = np.asarray(g.tid_count)
+    emit_tid = np.asarray(g.emit_tid)
+
+    out_d = np.full((B, k), np.inf, dtype=np.float64)
+    out_ids = np.full((B, k), -1, dtype=np.int64)
+    for b in range(B):
+        j = 0
+        for d, eid in zip(beam_d[b], beam_ids[b]):
+            if j >= k or eid < 0 or not np.isfinite(d):
+                break
+            cnt = int(tid_count[eid])
+            if cnt == 0:
+                continue
+            if cnt == 1:
+                out_d[b, j] = d
+                out_ids[b, j] = emit_tid[eid]
+                j += 1
+            else:
+                # duplicate element: emit its heap TIDs in slot order
+                for tid in reversed(index.heap_tids[int(eid)]):
+                    if j >= k:
+                        break
+                    out_d[b, j] = d
+                    out_ids[b, j] = tid
+                    j += 1
+    return out_d, out_ids
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "max_steps"))
+def _search_one_sparse(g, q, ef: int, max_steps: int):
+    entry = jnp.int32(g.entry)
+    d0 = _dist_ids(g, q, entry[None])[0]
+    cur, cur_d = entry, d0
+    for layer in range(g.entry_level, 0, -1):
+        cur, cur_d = _greedy_descent(g, q, cur, cur_d, layer)
+    return _ground_beam(g, q, cur, cur_d, ef, max_steps)
+
+
+def bulk_build(index, data, ids):
+    """Batched device bulk build. Currently delegates to the sequential
+    host loop; replaced by the batched insertion pipeline (device_build)
+    in the next milestone."""
+    index.add_batch(data, ids)

@@ -167,17 +167,38 @@ def select_neighbors(
 
     ``candidates`` must be sorted nearest first. Returns at most
     ``max_neighbors``, keeping diversity, backfilling from discarded.
+
+    The candidate-to-candidate distances are precomputed as one batched
+    call per candidate row (identical results to the reference's
+    pair-at-a-time calls; the greedy keep/discard loop is unchanged).
     """
     if len(candidates) <= max_neighbors:
         return list(candidates)
 
+    ids = [idx for _, idx in candidates]
+    # full candidate x candidate distance matrix in one batched call
+    pm = getattr(pair_many, "pair_matrix", None)
+    if pm is not None:
+        mat = pm(ids)
+    else:
+        mat = np.stack([pair_many(i, ids) for i in ids])
+
     result: list[tuple[float, int]] = []
+    kept_pos: list[int] = []
     discarded: list[tuple[float, int]] = []
-    for e in candidates:
+    for ci, e in enumerate(candidates):
         if len(result) >= max_neighbors:
             break
-        if check_element_closer(e, result, pair_many):
+        e_dist = e[0]
+        r = mat[ci]
+        closer = True
+        for kp in kept_pos:
+            if r[kp] <= e_dist:
+                closer = False
+                break
+        if closer:
             result.append(e)
+            kept_pos.append(ci)
         else:
             discarded.append(e)
     for d in discarded:

@@ -1,0 +1,450 @@
+"""HnswIndex: the index access layer.
+
+TPU-native analog of reference ``src/index/{build,insert}.rs`` plus the
+AM-facing API surface. The host (numpy/Python) path implemented here is
+the semantic reference — sequential insertion with exact pgvector-rx
+parity (duplicate handling, entry-point promotion, slot reuse,
+versioning). The batched device build/search paths (graph/device.py)
+are validated against it and used for scale.
+
+Semantics mirrored (file:line in /root/reference):
+- dims/type validation + "column cannot have more than N dimensions for
+  hnsw index" (build.rs:839-867), sparse nnz cap (build.rs:195-205)
+- ef_construction >= 2*m (build.rs:865-867)
+- geometric random level floor(-ln(U)*mL), capped (build.rs:373-377)
+- cosine: skip zero-norm rows, index normalized values (build.rs:426-438)
+- duplicate handling: byte-equal zero-distance layer-0 neighbor with
+  < 10 heap TIDs absorbs the new TID, element discarded
+  (build.rs:474-510, insert.rs:1136-1214)
+- entry-point: build promotes on higher level (build.rs:523-528);
+  insert uses UPDATE_ENTRY_GREATER (insert.rs:1455-1470)
+- insert reuses vacuumed slots, inheriting their bumped version
+  (insert.rs:104-185,:283-287)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .. import constants as C
+from ..config import IndexParams, SearchParams
+from ..graph import host
+from ..graph.host import GraphElement
+from ..types.sparsevec import SparseVec
+from . import stores
+
+DENSE_METRICS = ("l2", "ip", "cosine", "l1")
+BIT_METRICS = ("hamming", "jaccard")
+SPARSE_METRICS = DENSE_METRICS
+
+
+class HnswIndex:
+    """An HNSW index over one of the four vector types.
+
+    Use :meth:`build` (bulk) or :meth:`create` + :meth:`insert`.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "l2",
+        kind: str = "dense",
+        params: IndexParams | None = None,
+        dtype=np.float32,
+        seed: int = 0,
+        _skip_dim_check: bool = False,
+    ):
+        params = params or IndexParams()
+        params.validate_for_build()
+        if kind == "dense":
+            if metric not in DENSE_METRICS:
+                raise ValueError(f"unknown metric {metric!r} for dense index")
+            max_dim = (
+                C.HNSW_MAX_DIM_HALFVEC
+                if np.dtype(dtype) == np.float16
+                else C.HNSW_MAX_DIM
+            )
+            self.store = stores.DenseStore(dim, metric, dtype)
+        elif kind == "bit":
+            if metric not in BIT_METRICS:
+                raise ValueError(f"unknown metric {metric!r} for bit index")
+            max_dim = C.HNSW_MAX_DIM_BIT
+            self.store = stores.BitStore(dim, metric)
+        elif kind == "sparse":
+            if metric not in SPARSE_METRICS:
+                raise ValueError(f"unknown metric {metric!r} for sparse index")
+            max_dim = C.SPARSEVEC_MAX_DIM
+            self.store = stores.SparseStore(dim, metric)
+        else:
+            raise ValueError("type not supported for hnsw index")
+        if dim < 1:
+            raise ValueError("column does not have dimensions")
+        if dim > max_dim and not _skip_dim_check:
+            raise ValueError(
+                f"column cannot have more than {max_dim} dimensions for hnsw index"
+            )
+
+        self.kind = kind
+        self.metric = metric
+        self.dim = int(dim)
+        self.params = params
+        self.dtype = np.dtype(dtype) if kind == "dense" else None
+        self.max_level = C.hnsw_get_max_level(params.m)
+        self.ml = C.hnsw_get_ml(params.m)
+
+        self.elements: list[GraphElement] = []
+        self.heap_tids: list[list[int]] = []
+        self.entry: Optional[int] = None
+        self.free_slots: list[int] = []
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+        self._device = None  # device graph cache (graph/device.py)
+        self._log = None  # append log (storage.py attaches)
+        self.stats = {"scans": 0, "inserts": 0, "duplicates": 0, "resumes": 0}
+
+    # -- basics --------------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        """Live (non-deleted) element slots."""
+        return sum(
+            1 for e in self.elements if not e.deleted and e.level >= 0
+        )
+
+    @property
+    def num_tuples(self) -> int:
+        return sum(len(t) for t in self.heap_tids)
+
+    def _invalidate_device(self) -> None:
+        self._device = None
+
+    def _dist_many(self, query, ids):
+        # build-path queries are element indices (graph/host passes
+        # new_idx as the opaque query); scan-path queries are raw values
+        if isinstance(query, (int, np.integer)):
+            return self.store.pair_many(int(query), ids)
+        return self.store.dist_many(query, ids)
+
+    @property
+    def _pair_many(self):
+        pm = self.__dict__.get("_pair_many_fn")
+        if pm is None:
+            store = self.store
+
+            def pair_many(idx, ids):
+                return store.pair_many(idx, ids)
+
+            # batched all-pairs hook used by select_neighbors
+            pair_many.pair_matrix = store.pair_matrix
+            self.__dict__["_pair_many_fn"] = pm = pair_many
+        return pm
+
+    def random_level(self) -> int:
+        """floor(-ln(U)*mL) capped. Parity: build.rs:373-377."""
+        u = self._rng.random()
+        u = u if u > 0.0 else 1e-300
+        level = int(math.floor(-math.log(u) * self.ml))
+        return min(level, self.max_level)
+
+    # -- value preparation ---------------------------------------------------
+
+    def prepare_value(self, value):
+        """Validate/canonicalize one input value.
+
+        Returns the canonical stored form, or None if the row must be
+        skipped (cosine zero-norm, build.rs:426-438). Raises on
+        dimension/nnz violations.
+        """
+        if self.kind == "dense":
+            row = np.asarray(value, dtype=np.float32)
+            if row.shape != (self.dim,):
+                raise ValueError(
+                    f"expected {self.dim} dimensions, not {row.shape[-1]}"
+                )
+            if self.metric == "cosine":
+                n = math.sqrt(float(np.sum(row.astype(np.float64) ** 2)))
+                if n == 0.0:
+                    return None
+                row = (row.astype(np.float64) / n).astype(np.float32)
+            return row.astype(self.dtype)
+        if self.kind == "bit":
+            v = np.asarray(value)
+            if v.dtype == np.uint8 and v.shape == (self.store.nbytes,):
+                return v
+            if v.shape != (self.dim,):
+                raise ValueError(f"expected {self.dim} dimensions, not {v.shape[-1]}")
+            return np.packbits(v.astype(np.uint8))
+        # sparse
+        if isinstance(value, SparseVec):
+            idx, val = value.indices, value.values
+            if value.dim != self.dim:
+                raise ValueError(f"expected {self.dim} dimensions, not {value.dim}")
+        else:
+            idx, val = value
+            idx = np.asarray(idx, dtype=np.int32)
+            val = np.asarray(val, dtype=np.float32)
+        if len(idx) > C.HNSW_MAX_NNZ:
+            raise ValueError(
+                f"sparsevec cannot have more than {C.HNSW_MAX_NNZ} "
+                "non-zero elements for hnsw index"
+            )
+        if self.metric == "cosine":
+            n = math.sqrt(float(np.sum(val.astype(np.float64) ** 2)))
+            if n == 0.0:
+                return None
+            val64 = val.astype(np.float64) / n
+            val = val64.astype(np.float32)
+            keep = val != 0.0
+            idx, val = idx[keep], val[keep]
+        return (idx, val)
+
+    # -- element slot management --------------------------------------------
+
+    def _alloc_slot(self, level: int, value) -> int:
+        """Place a new element, reusing a vacuumed slot when available
+        (insert.rs:104-185); reused slots inherit their bumped version
+        (insert.rs:283-287)."""
+        if self.free_slots:
+            idx = self.free_slots.pop()
+            old_version = self.elements[idx].version
+            self.elements[idx] = GraphElement(level=level, version=old_version)
+            self.store.overwrite(idx, value)
+            self.heap_tids[idx] = []
+            return idx
+        idx = self.store.append(value)
+        self.elements.append(GraphElement(level=level))
+        self.heap_tids.append([])
+        assert len(self.elements) == self.store.count == len(self.heap_tids)
+        return idx
+
+    def _rollback_slot(self, idx: int) -> None:
+        if idx == len(self.elements) - 1 and idx == self.store.count - 1:
+            self.elements.pop()
+            self.heap_tids.pop()
+            self.store.pop()
+        else:
+            # reused slot: return it to the free list
+            self.elements[idx].deleted = True
+            self.elements[idx].neighbors = [[]]
+            self.store.zero(idx)
+            self.heap_tids[idx] = []
+            self.free_slots.append(idx)
+
+    # -- insert (build_callback / aminsert shared core) ----------------------
+
+    def _try_duplicate(self, new_idx: int, tid: int) -> bool:
+        """Absorb tid into a byte-equal zero-distance layer-0 neighbor.
+
+        Parity: build.rs:474-510 / insert.rs:1136-1214. Neighbors are
+        distance-ordered; stop at the first non-zero distance.
+        """
+        for d, n_idx in self.elements[new_idx].neighbors[0]:
+            if d != 0.0:
+                break
+            if (
+                self.store.value_bytes(n_idx) == self.store.value_bytes(new_idx)
+                and not self.elements[n_idx].deleted
+                and len(self.heap_tids[n_idx]) > 0  # being-deleted guard (insert.rs:1160)
+                and len(self.heap_tids[n_idx]) < C.HNSW_HEAPTIDS
+            ):
+                self.heap_tids[n_idx].append(tid)
+                self.stats["duplicates"] += 1
+                return True
+        return False
+
+    def _insert_prepared(self, prepared, tid: int, entry_mode: int) -> Optional[int]:
+        """Insert one canonical value. Returns element idx or None if the
+        TID was absorbed as a duplicate."""
+        level = self.random_level()
+        new_idx = self._alloc_slot(level, prepared)
+
+        if self.entry is None:
+            self.heap_tids[new_idx] = [tid]
+            self.entry = new_idx
+            return new_idx
+
+        entry_idx = self.entry
+        host.find_element_neighbors(
+            self.elements,
+            new_idx,
+            entry_idx,
+            self.params.ef_construction,
+            self.params.m,
+            self._dist_many,
+            self._pair_many,
+        )
+        if self._try_duplicate(new_idx, tid):
+            self._rollback_slot(new_idx)
+            return None
+        host.update_neighbor_connections(
+            self.elements, new_idx, self.params.m, self._pair_many
+        )
+        self.heap_tids[new_idx] = [tid]
+        if entry_mode == C.HNSW_UPDATE_ENTRY_ALWAYS or (
+            self.elements[new_idx].level > self.elements[entry_idx].level
+        ):
+            self.entry = new_idx
+        return new_idx
+
+    def insert(self, value, tid: Optional[int] = None) -> Optional[int]:
+        """Insert one value (aminsert analog, insert.rs:1227-1480).
+
+        Returns the element idx, or None if skipped (cosine zero norm) or
+        absorbed as a duplicate.
+        """
+        if tid is None:
+            tid = self.num_tuples
+        prepared = self.prepare_value(value)
+        if prepared is None:
+            return None
+        self._invalidate_device()
+        self.stats["inserts"] += 1
+        out = self._insert_prepared(prepared, tid, C.HNSW_UPDATE_ENTRY_GREATER)
+        if self._log is not None:
+            self._log.record_insert(value, tid)
+        return out
+
+    def add_batch(self, values, tids: Optional[Sequence[int]] = None) -> None:
+        """Sequential host bulk-load (ambuild's heap-scan loop,
+        build.rs:400-535)."""
+        self._invalidate_device()
+        n = len(values)
+        if tids is None:
+            base = self.num_tuples
+            tids = range(base, base + n)
+        for value, tid in zip(values, tids):
+            prepared = self.prepare_value(value)
+            if prepared is None:
+                continue
+            self._insert_prepared(prepared, int(tid), C.HNSW_UPDATE_ENTRY_GREATER)
+
+    # -- build ---------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        data,
+        metric: str = "l2",
+        params: IndexParams | None = None,
+        ids: Optional[Sequence[int]] = None,
+        dtype=np.float32,
+        seed: int = 0,
+        method: str = "auto",
+    ) -> "HnswIndex":
+        """Build an index from data (ambuild analog).
+
+        ``data``: [N, D] float array (dense), [N, nbits] 0/1 array for
+        hamming/jaccard, or a sequence of SparseVec / (indices, values).
+        ``method``: "host" (sequential reference path), "device"
+        (batched TPU bulk build), or "auto".
+        """
+        kind = (
+            "bit"
+            if metric in BIT_METRICS
+            else ("sparse" if _is_sparse_data(data) else "dense")
+        )
+        if kind == "sparse":
+            dims = {v.dim if isinstance(v, SparseVec) else None for v in data}
+            dims.discard(None)
+            if len(dims) > 1:
+                raise ValueError("different sparsevec dimensions in build input")
+            dim = dims.pop() if dims else max(int(np.max(v[0])) + 1 for v in data)
+        else:
+            arr = np.asarray(data)
+            dim = arr.shape[1]
+        idx = cls(dim, metric=metric, kind=kind, params=params, dtype=dtype, seed=seed)
+
+        n = len(data)
+        if ids is None:
+            ids = range(n)
+        if method == "device" or (method == "auto" and kind == "dense" and n >= 20000):
+            from ..graph import device as device_mod
+
+            device_mod.bulk_build(idx, data, list(ids))
+        else:
+            idx.add_batch(data, ids)
+        return idx
+
+    # -- search (delegates to scan.py) ---------------------------------------
+
+    def search(
+        self,
+        queries,
+        k: int,
+        params: SearchParams | None = None,
+        method: str = "auto",
+    ):
+        """k-NN search. Returns (distances [B,k], heap ids [B,k]) with
+        operator-domain distances (l2 = true euclidean); missing results
+        padded with inf / -1."""
+        from . import scan
+
+        return scan.search(self, queries, k, params or SearchParams(), method=method)
+
+    def scan(self, query, params: SearchParams | None = None):
+        """Begin a resumable scan (ambeginscan/amgettuple analog)."""
+        from .scan import HnswScan
+
+        return HnswScan(self, query, params or SearchParams())
+
+    # -- delete / vacuum (delegates to vacuum.py) ----------------------------
+
+    def delete(self, tids) -> int:
+        from . import vacuum
+
+        return vacuum.delete_tids(self, tids)
+
+    def vacuum(self) -> dict:
+        from . import vacuum
+
+        return vacuum.run_vacuum(self)
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path) -> None:
+        from . import storage
+
+        storage.save(self, path)
+
+    @classmethod
+    def load(cls, path) -> "HnswIndex":
+        from . import storage
+
+        return storage.load(path)
+
+    def enable_log(self, path) -> None:
+        """Attach an append-only insert log (WAL analog)."""
+        from . import storage
+
+        self._log = storage.AppendLog(path, self)
+
+    # -- device --------------------------------------------------------------
+
+    def device_graph(self):
+        """Flat-array device mirror of the graph (built lazily, cached)."""
+        if self._device is None:
+            from ..graph import device as device_mod
+
+            self._device = device_mod.DeviceGraph.from_index(self)
+        return self._device
+
+    def __repr__(self) -> str:
+        return (
+            f"HnswIndex(kind={self.kind}, metric={self.metric}, dim={self.dim}, "
+            f"m={self.params.m}, ef_construction={self.params.ef_construction}, "
+            f"elements={len(self.elements)}, tuples={self.num_tuples})"
+        )
+
+
+def _is_sparse_data(data) -> bool:
+    if isinstance(data, np.ndarray):
+        return False
+    if len(data) == 0:
+        return False
+    first = data[0]
+    return isinstance(first, SparseVec) or (
+        isinstance(first, tuple) and len(first) == 2
+    )

@@ -1,0 +1,250 @@
+"""Index scans: k-NN search and iterative (resumable) scans.
+
+Parity source: reference ``src/index/scan.rs``.
+- :func:`get_scan_items` <-> scan.rs:458-530 (Algorithm 5: greedy descent
+  ef=1 through upper layers, then ground search with ef_search)
+- :func:`resume_scan_items` <-> scan.rs:538-577 (re-enter ground layer
+  with up to ef_search discarded candidates, shared visited set)
+- :class:`HnswScan` <-> HnswScanState + amgettuple (scan.rs:584-875):
+  nearest-last result stack, per-element heap-TID emission, iterative
+  off/relaxed_order/strict_order modes, max_scan_tuples cap with
+  one-at-a-time discarded drain.
+
+The batched device path (method="device") produces the same result sets
+via graph/device.py and is validated against this host path.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Optional
+
+import numpy as np
+
+from ..config import SearchParams
+from ..constants import (
+    HNSW_ITERATIVE_SCAN_OFF,
+    HNSW_ITERATIVE_SCAN_RELAXED,
+    HNSW_ITERATIVE_SCAN_STRICT,
+)
+from ..graph import host
+
+
+def get_scan_items(
+    index,
+    query,
+    ef_search: int,
+    visited: Optional[set] = None,
+    discarded: Optional[list] = None,
+):
+    """Algorithm 5. Returns candidates sorted nearest first."""
+    if index.entry is None:
+        return []
+    entry_idx = index.entry
+    if index.elements[entry_idx].deleted:
+        return []
+
+    ep = [(float(index._dist_many(query, [entry_idx])[0]), entry_idx)]
+    ep_level = index.elements[entry_idx].level
+
+    for lc in range(ep_level, 0, -1):
+        w = host.search_layer(index.elements, ep, 1, lc, query, index._dist_many)
+        if not w:
+            return []
+        ep = [w[0]]
+
+    return host.search_layer(
+        index.elements,
+        ep,
+        ef_search,
+        0,
+        query,
+        index._dist_many,
+        visited=visited,
+        discarded=discarded,
+    )
+
+
+def resume_scan_items(
+    index, query, ef_search: int, visited: set, discarded: list
+):
+    """Re-enter the ground layer from discarded candidates.
+
+    Parity: scan.rs:538-577 — batch of up to ef_search entry points,
+    entries NOT re-added to visited (already there).
+    """
+    if not discarded:
+        return []
+    ep = []
+    for _ in range(ef_search):
+        if not discarded:
+            break
+        ep.append(heapq.heappop(discarded))
+    return host.search_layer(
+        index.elements,
+        ep,
+        ef_search,
+        0,
+        query,
+        index._dist_many,
+        visited=visited,
+        discarded=discarded,
+        add_entry_to_visited=False,
+    )
+
+
+class HnswScan:
+    """A resumable scan over one query (amgettuple analog).
+
+    Yields (heap_tid, order_distance) pairs via :meth:`next`, or None
+    when exhausted. The visited set and discarded heap persist across
+    resume re-entries — the reference's checkpoint/resume object
+    (SURVEY.md §5 "Checkpoint / resume").
+    """
+
+    def __init__(self, index, query, params: SearchParams):
+        self.index = index
+        self.params = params
+        self.query = index.prepare_value(query)
+        if self.query is None and index.kind in ("dense", "sparse"):
+            # cosine zero-norm query: reference normalize leaves zeros;
+            # distances become 1 - 0 = 1 for all rows. Keep zeros.
+            if index.kind == "dense":
+                self.query = np.zeros(index.dim, dtype=np.float32)
+            else:
+                self.query = (
+                    np.zeros(0, dtype=np.int32),
+                    np.zeros(0, dtype=np.float32),
+                )
+        self.first = True
+        self.results: list = []  # nearest LAST (pop from end)
+        self.visited: set = set()
+        self.discarded: list = []  # heapq min-heap
+        self.tuples = 0
+        self.previous_distance = -np.inf
+        self._current: Optional[tuple] = None  # (distance, [remaining tids])
+        # Elements already emitted. The reference can re-emit an element
+        # across resume batches (evicted candidates are pushed to the
+        # discarded heap both at eviction and again as leftover
+        # candidates, scan.rs:420-437); we dedupe — a strict improvement
+        # that keeps iterative scans exactly-once.
+        self._emitted: set = set()
+        self.iterative = params.iterative_scan != HNSW_ITERATIVE_SCAN_OFF
+        index.stats["scans"] += 1
+
+    def _run_first(self) -> None:
+        ef = self.params.ef_search
+        if self.iterative:
+            items = get_scan_items(
+                self.index, self.query, ef, self.visited, self.discarded
+            )
+        else:
+            items = get_scan_items(self.index, self.query, ef)
+        # store nearest last
+        self.results = list(reversed(items))
+        self.first = False
+
+    def next(self) -> Optional[tuple]:
+        """Next (heap_tid, order_distance) or None."""
+        if self.first:
+            self._run_first()
+
+        strict = self.params.iterative_scan == HNSW_ITERATIVE_SCAN_STRICT
+        while True:
+            if self._current is not None:
+                dist, tids = self._current
+                if tids:
+                    tid = tids.pop()
+                    if strict:
+                        if dist < self.previous_distance:
+                            continue
+                        self.previous_distance = dist
+                    return tid, dist
+                self._current = None
+
+            if not self.results:
+                if not self.iterative:
+                    return None
+                if self.tuples >= self.params.max_scan_tuples:
+                    # Drain discarded one at a time (scan.rs:828-841)
+                    if not self.discarded:
+                        return None
+                    self.results.append(heapq.heappop(self.discarded))
+                else:
+                    self.index.stats["resumes"] += 1
+                    items = resume_scan_items(
+                        self.index,
+                        self.query,
+                        self.params.ef_search,
+                        self.visited,
+                        self.discarded,
+                    )
+                    self.results = list(reversed(items))
+                if not self.results:
+                    return None
+
+            dist, idx = self.results.pop()
+            if idx in self._emitted:
+                continue
+            self._emitted.add(idx)
+            tids = self.index.heap_tids[idx]
+            if not tids:
+                continue
+            self.tuples += 1
+            # copy (reversed so .pop() yields slot order like the
+            # reference's pop-from-end of the loaded array)
+            self._current = (dist, list(reversed(tids)))
+
+    def take(self, k: int) -> list[tuple]:
+        out = []
+        while len(out) < k:
+            item = self.next()
+            if item is None:
+                break
+            out.append(item)
+        return out
+
+
+def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
+    """Batch k-NN. Returns (distances [B,k] operator-domain, ids [B,k]).
+
+    method="host" walks the reference scan path per query;
+    method="device" uses the batched beam search. "auto" picks device
+    for dense indexes with a device graph warm or large batches.
+    """
+    single = _is_single_query(index, queries)
+    qlist = [queries] if single else list(queries)
+
+    use_device = method == "device" or (
+        method == "auto" and index.kind == "dense" and len(qlist) >= 32
+    )
+    if use_device:
+        from ..graph import device as device_mod
+
+        dists, ids = device_mod.search(index, qlist, k, params)
+    else:
+        B = len(qlist)
+        dists = np.full((B, k), np.inf, dtype=np.float64)
+        ids = np.full((B, k), -1, dtype=np.int64)
+        for b, q in enumerate(qlist):
+            scan = HnswScan(index, q, params)
+            for j, (tid, d) in enumerate(scan.take(k)):
+                dists[b, j] = d
+                ids[b, j] = tid
+
+    # order-distance -> operator-distance (l2: sqrt; others identical),
+    # kept jax-free on the host path
+    if index.metric == "l2":
+        dists = np.where(np.isfinite(dists), np.sqrt(np.maximum(dists, 0.0)), dists)
+    if single:
+        return dists[0], ids[0]
+    return dists, ids
+
+
+def _is_single_query(index, queries) -> bool:
+    if index.kind == "sparse":
+        from ..types.sparsevec import SparseVec
+
+        return isinstance(queries, (SparseVec, tuple))
+    arr = np.asarray(queries)
+    return arr.ndim == 1

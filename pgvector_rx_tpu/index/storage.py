@@ -1,0 +1,248 @@
+"""Persistence: checkpoint snapshots + append log (the WAL analog).
+
+The reference delegates durability to PostgreSQL: a full-index WAL dump
+at build (build.rs:891-901) and per-mutation GenericXLog records
+(insert.rs:216-263), validated by replica-equivalence tests
+(tests/t/010_hnsw_wal.pl). Here the durable objects are:
+
+- a checkpoint: ``meta.json`` + ``arrays.npz`` holding the full graph
+  (meta-page analog: magic/version/dims/m/ef_construction/entry —
+  types/hnsw.rs:55-74 — plus levels/versions/deleted/neighbors/TIDs)
+- an append-only JSONL log of inserts/deletes since the checkpoint,
+  replayed on load (:func:`load` with ``replay=True``)
+
+Reload-equivalence is tested the way 010 tests replica-equivalence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .. import constants as C
+from ..config import IndexParams
+from ..graph.host import GraphElement
+
+FORMAT_VERSION = 1
+
+
+def save(index, path) -> None:
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    n = len(index.elements)
+
+    levels = np.array([e.level for e in index.elements], dtype=np.int16)
+    versions = np.array([e.version for e in index.elements], dtype=np.int16)
+    deleted = np.array([e.deleted for e in index.elements], dtype=bool)
+
+    nb_ids, nb_dists, nb_counts = [], [], []
+    for e in index.elements:
+        for layer_list in e.neighbors:
+            nb_counts.append(len(layer_list))
+            for d, i in layer_list:
+                nb_dists.append(d)
+                nb_ids.append(i)
+
+    tid_flat, tid_counts = [], []
+    for tids in index.heap_tids:
+        tid_counts.append(len(tids))
+        tid_flat.extend(tids)
+
+    arrays = {
+        "levels": levels,
+        "versions": versions,
+        "deleted": deleted,
+        "nb_ids": np.array(nb_ids, dtype=np.int32),
+        "nb_dists": np.array(nb_dists, dtype=np.float32),
+        "nb_counts": np.array(nb_counts, dtype=np.int32),
+        "tid_flat": np.array(tid_flat, dtype=np.int64),
+        "tid_counts": np.array(tid_counts, dtype=np.int32),
+        "free_slots": np.array(index.free_slots, dtype=np.int32),
+    }
+    if index.kind == "dense":
+        arrays["rows"] = index.store.rows[:n]
+    elif index.kind == "bit":
+        arrays["rows"] = index.store.rows[:n]
+    else:
+        arrays["sp_indices"] = index.store.indices[:n]
+        arrays["sp_values"] = index.store.values[:n]
+
+    np.savez_compressed(path / "arrays.npz", **arrays)
+
+    meta = {
+        "magic": C.HNSW_MAGIC_NUMBER,
+        "format_version": FORMAT_VERSION,
+        "hnsw_version": C.HNSW_VERSION,
+        "kind": index.kind,
+        "metric": index.metric,
+        "dim": index.dim,
+        "m": index.params.m,
+        "ef_construction": index.params.ef_construction,
+        "dtype": str(index.dtype) if index.dtype is not None else None,
+        "entry": index.entry,
+        "seed": index.seed,
+        "rng_state": _rng_state_to_json(index._rng),
+        "n_elements": n,
+        "stats": index.stats,
+    }
+    tmp = path / "meta.json.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, path / "meta.json")
+
+
+def load(path, replay: bool = True):
+    from .hnsw import HnswIndex
+
+    path = Path(path)
+    meta = json.loads((path / "meta.json").read_text())
+    if meta["magic"] != C.HNSW_MAGIC_NUMBER:
+        raise ValueError("hnsw index is not valid (magic number mismatch)")
+
+    index = HnswIndex(
+        meta["dim"],
+        metric=meta["metric"],
+        kind=meta["kind"],
+        params=IndexParams(m=meta["m"], ef_construction=meta["ef_construction"]),
+        dtype=np.dtype(meta["dtype"]) if meta["dtype"] else np.float32,
+        seed=meta["seed"],
+    )
+    z = np.load(path / "arrays.npz")
+    n = int(meta["n_elements"])
+
+    # store rows
+    if meta["kind"] in ("dense", "bit"):
+        for i in range(n):
+            index.store.append(z["rows"][i])
+    else:
+        pad = index.store.PAD
+        for i in range(n):
+            keep = z["sp_indices"][i] != pad
+            index.store.append((z["sp_indices"][i][keep], z["sp_values"][i][keep]))
+
+    # elements
+    levels, versions, deleted = z["levels"], z["versions"], z["deleted"]
+    nb_ids, nb_dists, nb_counts = z["nb_ids"], z["nb_dists"], z["nb_counts"]
+    ci = 0  # index into nb_counts
+    off = 0  # index into nb_ids/nb_dists
+    for i in range(n):
+        e = GraphElement(level=int(levels[i]), version=int(versions[i]))
+        e.deleted = bool(deleted[i])
+        for lc in range(int(levels[i]) + 1):
+            cnt = int(nb_counts[ci])
+            ci += 1
+            e.neighbors[lc] = [
+                (float(nb_dists[off + j]), int(nb_ids[off + j])) for j in range(cnt)
+            ]
+            off += cnt
+        index.elements.append(e)
+
+    tid_flat, tid_counts = z["tid_flat"], z["tid_counts"]
+    toff = 0
+    for i in range(n):
+        cnt = int(tid_counts[i])
+        index.heap_tids.append([int(t) for t in tid_flat[toff : toff + cnt]])
+        toff += cnt
+
+    index.entry = meta["entry"]
+    index.free_slots = [int(s) for s in z["free_slots"]]
+    index.stats.update(meta.get("stats", {}))
+    _rng_state_from_json(index._rng, meta["rng_state"])
+
+    log_path = path / "log.jsonl"
+    if replay and log_path.exists():
+        replay_log(index, log_path)
+    return index
+
+
+# ---------------------------------------------------------------------------
+# Append log
+# ---------------------------------------------------------------------------
+
+
+class AppendLog:
+    """Append-only insert/delete log (GenericXLog analog).
+
+    Records mutations that happened after the last checkpoint; `load`
+    replays them to reconstruct the exact post-mutation state the way
+    a streaming replica replays WAL (tests/t/010_hnsw_wal.pl model).
+    """
+
+    def __init__(self, path, index):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fh = open(self.path, "a", encoding="utf-8")
+        self.index = index
+
+    def record_insert(self, value, tid: int) -> None:
+        rec = {"op": "insert", "tid": int(tid), "value": _encode_value(self.index, value)}
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def record_delete(self, tids) -> None:
+        rec = {"op": "delete", "tids": [int(t) for t in tids]}
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def replay_log(index, log_path) -> int:
+    """Apply logged mutations in order. Returns number of records."""
+    count = 0
+    log = index._log
+    index._log = None  # don't re-log replays
+    try:
+        with open(log_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec["op"] == "insert":
+                    index.insert(_decode_value(index, rec["value"]), rec["tid"])
+                elif rec["op"] == "delete":
+                    index.delete(rec["tids"])
+                count += 1
+    finally:
+        index._log = log
+    return count
+
+
+def _encode_value(index, value):
+    if index.kind == "dense":
+        return np.asarray(value, dtype=np.float32).tolist()
+    if index.kind == "bit":
+        v = np.asarray(value)
+        if v.dtype == np.uint8 and v.ndim == 1 and v.shape[0] == index.store.nbytes:
+            return {"packed": v.tobytes().hex()}
+        return {"bits": np.asarray(value).astype(int).tolist()}
+    if hasattr(value, "indices"):
+        return {"i": value.indices.tolist(), "v": value.values.tolist()}
+    idx, val = value
+    return {"i": np.asarray(idx).tolist(), "v": np.asarray(val).tolist()}
+
+
+def _decode_value(index, enc):
+    if index.kind == "dense":
+        return np.asarray(enc, dtype=np.float32)
+    if index.kind == "bit":
+        if "packed" in enc:
+            return np.frombuffer(bytes.fromhex(enc["packed"]), dtype=np.uint8)
+        return np.asarray(enc["bits"], dtype=np.uint8)
+    return (
+        np.asarray(enc["i"], dtype=np.int32),
+        np.asarray(enc["v"], dtype=np.float32),
+    )
+
+
+def _rng_state_to_json(rng) -> dict:
+    st = rng.bit_generator.state
+    return json.loads(json.dumps(st, default=int))
+
+
+def _rng_state_from_json(rng, state) -> None:
+    rng.bit_generator.state = state

