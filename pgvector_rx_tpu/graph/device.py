@@ -467,6 +467,126 @@ def _search_one_sparse(g, q, ef: int, max_steps: int):
     return _ground_beam(g, q, cur, cur_d, ef, max_steps)
 
 
+# ---------------------------------------------------------------------------
+# Array-level search (shard_map-compatible: entry point is traced, so this
+# works on a per-shard basis where each shard has its own entry scalar)
+# ---------------------------------------------------------------------------
+
+
+def beam_search_arrays(
+    values,  # [cap+1, D] f32
+    neighbors0,  # [cap+1, 2M] int32
+    upper_neighbors,  # [U+1, LMAX, M] int32
+    upper_slot,  # [cap+1] int32
+    traversable,  # [cap+1] bool
+    entry,  # traced scalar int32
+    entry_level,  # traced scalar int32
+    queries,  # [B, D] f32
+    *,
+    metric: str,
+    ef: int,
+    lmax: int,
+    max_steps: int,
+):
+    """Dense-metric batched search with a traced entry point.
+
+    Same algorithm as :func:`_search_batch` but the entry level is a
+    runtime value (layer loop unrolled to a static ``lmax`` with masks),
+    which is what shard_map needs — each shard has its own entry.
+    Returns (beam_d [B, ef], beam_ids [B, ef]).
+    """
+    cap = values.shape[0] - 1
+    n_upper = upper_neighbors.shape[0] - 1
+
+    if metric == "l2":
+        dist = lambda q, c: jnp.sum((c - q) ** 2, axis=-1)
+    elif metric == "ip":
+        dist = lambda q, c: -jnp.sum(c * q, axis=-1)
+    elif metric == "cosine":
+        dist = lambda q, c: 1.0 - jnp.clip(jnp.sum(c * q, axis=-1), -1.0, 1.0)
+    elif metric == "l1":
+        dist = lambda q, c: jnp.sum(jnp.abs(c - q), axis=-1)
+    else:
+        raise ValueError(metric)
+
+    def layer_nbrs(node, layer: int):
+        if layer == 0:
+            return neighbors0[jnp.clip(node, 0, cap)]
+        slot = upper_slot[jnp.clip(node, 0, cap)]
+        row = upper_neighbors[jnp.clip(slot, 0, n_upper), layer - 1]
+        return jnp.where(slot >= 0, row, -1)
+
+    def one(q):
+        e = jnp.clip(entry, 0, cap)
+        cur = e
+        cur_d = dist(q, values[e])
+
+        for layer in range(lmax, 0, -1):
+            active = layer <= entry_level
+
+            def g_cond(state):
+                return state[2]
+
+            def g_body(state):
+                c, cd, _ = state
+                nbrs = layer_nbrs(c, layer)
+                valid = (nbrs >= 0) & traversable[jnp.clip(nbrs, 0, cap)]
+                d = dist(q, values[jnp.clip(nbrs, 0, cap)])
+                d = jnp.where(valid, d, jnp.inf)
+                b = jnp.argmin(d)
+                moved = d[b] < cd
+                return (
+                    jnp.where(moved, nbrs[b], c),
+                    jnp.where(moved, d[b], cd),
+                    moved,
+                )
+
+            cur, cur_d, _ = jax.lax.while_loop(g_cond, g_body, (cur, cur_d, active))
+
+        # ground beam
+        beam_d = jnp.full((ef,), jnp.inf, jnp.float32).at[0].set(cur_d)
+        beam_ids = jnp.full((ef,), -1, jnp.int32).at[0].set(cur)
+        beam_exp = jnp.ones((ef,), jnp.int32).at[0].set(0)
+        visited = jnp.zeros((cap + 1,), jnp.bool_).at[cur].set(True)
+
+        def cond(state):
+            bd, bids, bexp, vis, steps = state
+            unexp = jnp.where(bexp == 1, jnp.inf, bd)
+            best = jnp.min(unexp)
+            return (best <= jnp.max(bd)) & jnp.isfinite(best) & (steps < max_steps)
+
+        def body(state):
+            bd, bids, bexp, vis, steps = state
+            unexp = jnp.where(bexp == 1, jnp.inf, bd)
+            pos = jnp.argmin(unexp)
+            u = bids[pos]
+            bexp = bexp.at[pos].set(1)
+            nbrs = neighbors0[jnp.maximum(u, 0)]
+            safe = jnp.clip(nbrs, 0, cap)
+            mask = (nbrs >= 0) & ~vis[safe] & traversable[safe]
+            vis = vis.at[jnp.where(nbrs >= 0, nbrs, cap)].set(True)
+            d_new = jnp.where(mask, dist(q, values[safe]), jnp.inf)
+            ids_new = jnp.where(mask, nbrs, -1)
+            exp_new = jnp.where(mask, 0, 1)
+            sd, sids, sexp = jax.lax.sort(
+                [
+                    jnp.concatenate([bd, d_new]),
+                    jnp.concatenate([bids, ids_new]),
+                    jnp.concatenate([bexp, exp_new]),
+                ],
+                num_keys=2,
+            )
+            return (sd[:ef], sids[:ef], sexp[:ef], vis, steps + 1)
+
+        bd, bids, _, _, _ = jax.lax.while_loop(
+            cond, body, (beam_d, beam_ids, beam_exp, visited, jnp.int32(0))
+        )
+        sd, sids = jax.lax.sort([bd, bids], num_keys=2)
+        return sd, sids
+
+    return jax.vmap(one)(queries)
+
+
 def bulk_build(index, data, ids):
     """Batched device bulk build. Currently delegates to the sequential
     host loop; replaced by the batched insertion pipeline (device_build)

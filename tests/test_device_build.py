@@ -1,0 +1,72 @@
+"""Batched device build tests: recall and semantics parity vs host build."""
+
+import numpy as np
+import pytest
+
+from pgvector_rx_tpu.config import IndexParams, SearchParams
+from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+from test_index import brute_force, recall_at_k
+
+
+class TestDeviceBuild:
+    def test_recall_l2(self):
+        rng = np.random.default_rng(50)
+        data = rng.standard_normal((1200, 12)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="device", seed=51)
+        q = rng.standard_normal((20, 12)).astype(np.float32)
+        gt = brute_force(data, q, "l2", 10)
+        _, ids = idx.search(q, 10, SearchParams(ef_search=40), method="host")
+        assert recall_at_k(ids, gt, 10) >= 0.98
+
+    @pytest.mark.parametrize("metric", ["cosine", "ip"])
+    def test_recall_other_metrics(self, metric):
+        rng = np.random.default_rng(52)
+        data = rng.standard_normal((800, 10)).astype(np.float32)
+        idx = HnswIndex.build(data, metric=metric, method="device", seed=53)
+        q = rng.standard_normal((15, 10)).astype(np.float32)
+        gt = brute_force(data, q, metric, 10)
+        _, ids = idx.search(q, 10, SearchParams(ef_search=40), method="host")
+        assert recall_at_k(ids, gt, 10) >= 0.93
+
+    def test_duplicate_folding(self):
+        data = np.tile(np.array([[1.0, 2.0, 3.0]], dtype=np.float32), (20, 1))
+        idx = HnswIndex.build(data, metric="l2", method="device")
+        counts = sorted((len(t) for t in idx.heap_tids if t), reverse=True)
+        assert counts[0] == 10
+        assert idx.num_tuples == 20
+
+    def test_cosine_zero_norm_skipped(self):
+        data = np.array([[1, 0], [0, 0], [0, 1], [1, 1]], dtype=np.float32)
+        idx = HnswIndex.build(data, metric="cosine", method="device")
+        assert idx.num_tuples == 3
+
+    def test_built_index_supports_mutation(self):
+        """Device-built indexes must feed the same insert/delete paths."""
+        rng = np.random.default_rng(54)
+        data = rng.random((300, 8)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="device", seed=55)
+        idx.insert(rng.random(8).astype(np.float32), 999)
+        idx.delete([0, 1, 2])
+        _, ids = idx.search(data[5], 5, method="host")
+        assert 5 in set(ids)
+        assert not ({0, 1, 2} & set(ids))
+
+    def test_layer_degree_bounds(self):
+        rng = np.random.default_rng(56)
+        data = rng.random((500, 6)).astype(np.float32)
+        m = 8
+        idx = HnswIndex.build(
+            data, metric="l2", method="device",
+            params=IndexParams(m=m, ef_construction=32), seed=57,
+        )
+        for e in idx.elements:
+            assert len(e.neighbors[0]) <= 2 * m
+            for lc in range(1, e.level + 1):
+                assert len(e.neighbors[lc]) <= m
+
+    def test_entry_is_max_level(self):
+        rng = np.random.default_rng(58)
+        data = rng.random((400, 6)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="device", seed=59)
+        assert idx.elements[idx.entry].level == max(e.level for e in idx.elements)
