@@ -55,7 +55,7 @@ class DeviceGraph:
     upper_slot: jax.Array  # [cap+1] int32
     levels: jax.Array  # [cap+1] int32
     traversable: jax.Array  # [cap+1] bool
-    emit_tid: jax.Array  # [cap+1] int64
+    emit_tid: jax.Array  # [cap+1] int32 (device fast path caps TIDs at 2^31)
     tid_count: jax.Array  # [cap+1] int32
     # value arrays (dense: values; bit: words; sparse: sp_indices/sp_values)
     values: jax.Array | None = None
@@ -72,7 +72,7 @@ class DeviceGraph:
         neighbors0 = np.full((n + 1, lm0), -1, dtype=np.int32)
         levels = np.full(n + 1, -1, dtype=np.int32)
         traversable = np.zeros(n + 1, dtype=bool)
-        emit_tid = np.full(n + 1, -1, dtype=np.int64)
+        emit_tid = np.full(n + 1, -1, dtype=np.int32)
         tid_count = np.zeros(n + 1, dtype=np.int32)
 
         upper_rows = []

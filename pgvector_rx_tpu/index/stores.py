@@ -196,13 +196,27 @@ class SparseStore:
     kind = "sparse"
     PAD = np.int32(2**31 - 1)
 
-    def __init__(self, dim: int, metric: str, budget: int = HNSW_MAX_NNZ):
+    def __init__(self, dim: int, metric: str, budget: int = 16):
+        # `budget` is the padded row width; it grows on demand (powers
+        # of two, capped by HNSW_MAX_NNZ) so low-nnz workloads don't pay
+        # for the 1000-nnz worst case.
         self.dim = int(dim)
         self.metric = metric
-        self.budget = int(budget)
+        self.budget = min(int(budget), HNSW_MAX_NNZ)
         self.indices = np.full((0, self.budget), self.PAD, dtype=np.int32)
         self.values = np.zeros((0, self.budget), dtype=np.float32)
         self.count = 0
+
+    def _grow_budget(self, need: int) -> None:
+        new_budget = self.budget
+        while new_budget < need:
+            new_budget *= 2
+        new_budget = min(max(new_budget, need), max(HNSW_MAX_NNZ, need))
+        ni = np.full((self.indices.shape[0], new_budget), self.PAD, dtype=np.int32)
+        nv = np.zeros((self.values.shape[0], new_budget), dtype=np.float32)
+        ni[:, : self.budget] = self.indices
+        nv[:, : self.budget] = self.values
+        self.indices, self.values, self.budget = ni, nv, new_budget
 
     def _ensure(self, n: int) -> None:
         if n > self.indices.shape[0]:
@@ -216,6 +230,8 @@ class SparseStore:
     def _pad(self, value) -> tuple[np.ndarray, np.ndarray]:
         idx, val = value
         k = len(idx)
+        if k > self.budget:
+            self._grow_budget(k)
         pi = np.full(self.budget, self.PAD, dtype=np.int32)
         pv = np.zeros(self.budget, dtype=np.float32)
         pi[:k] = idx
@@ -254,13 +270,22 @@ class SparseStore:
     def _dist(self, q, rows_i: np.ndarray, rows_v: np.ndarray) -> np.ndarray:
         qi, qv = self._pad(q)
         n = rows_i.shape[0]
-        # vectorized binary-search match (see ops/sparse.py for the device twin)
-        pos = np.stack([np.searchsorted(rows_i[r], qi) for r in range(n)])
-        pos_c = np.minimum(pos, self.budget - 1)
-        found = (pos < self.budget) & (
-            np.take_along_axis(rows_i, pos_c, axis=1) == qi[None, :]
-        ) & (qi[None, :] != self.PAD)
-        mcv = np.where(found, np.take_along_axis(rows_v, pos_c, axis=1), 0.0)
+        # One batched binary search for all rows: composite uint64 keys
+        # (row << 32 | index) are globally sorted because each row is
+        # sorted and PAD-padded (see ops/sparse.py for the device twin).
+        row_ids = np.arange(n, dtype=np.uint64)[:, None]
+        flat_keys = (
+            (row_ids << np.uint64(32)) | rows_i.astype(np.uint32).astype(np.uint64)
+        ).ravel()
+        qkeys = (row_ids << np.uint64(32)) | qi.astype(np.uint32).astype(np.uint64)
+        pos = np.searchsorted(flat_keys, qkeys.ravel())
+        pos_c = np.minimum(pos, n * self.budget - 1)
+        found = (
+            (pos < n * self.budget)
+            & (flat_keys[pos_c] == qkeys.ravel())
+            & (np.broadcast_to(qi[None, :] != self.PAD, (n, self.budget)).ravel())
+        ).reshape(n, self.budget)
+        mcv = np.where(found, rows_v.ravel()[pos_c].reshape(n, self.budget), 0.0)
         dot = np.sum(qv[None, :] * mcv, axis=1, dtype=np.float32)
         q_sq = np.float32(np.sum(qv * qv, dtype=np.float32))
         c_sq = np.sum(rows_v * rows_v, axis=1, dtype=np.float32)

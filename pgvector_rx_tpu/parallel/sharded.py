@@ -1,0 +1,263 @@
+"""Sharded HNSW: node-partitioned sub-graphs over a device mesh.
+
+Design (new — the reference is single-node; SURVEY.md §5 "Distributed
+communication backend"): vectors are partitioned round-robin across
+shards; each shard owns an independent HNSW sub-graph built over its
+partition. A query searches every shard's sub-graph in SPMD
+(shard_map over a 1-D mesh), then per-shard top-k results are combined
+with ONE ``jax.lax.all_gather`` over ICI followed by a local merge —
+no cross-shard traffic during graph traversal, which would otherwise
+serialize every hop on the interconnect.
+
+Recall: the union of per-shard beams is a superset of what a single
+monolithic graph's beam would cover at equal total ef, so recall at
+matched settings is >= the single-graph recall (each shard searches
+ef deep in its own partition).
+
+Mutations: inserts route to the smallest shard (round-robin for bulk);
+deletes broadcast (each shard drops its own TIDs). Each shard reuses
+the single-chip build/insert/vacuum machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import IndexParams, SearchParams
+from ..graph import device as device_mod
+from ..index.hnsw import HnswIndex
+
+
+class ShardedHnswIndex:
+    """A dense-metric HNSW index sharded across a jax Mesh axis."""
+
+    def __init__(self, shards: Sequence[HnswIndex], mesh: Optional[Mesh] = None):
+        if not shards:
+            raise ValueError("need at least one shard")
+        self.shards = list(shards)
+        self.metric = shards[0].metric
+        self.dim = shards[0].dim
+        self.params = shards[0].params
+        if mesh is None:
+            devs = np.array(jax.devices()[: len(shards)])
+            mesh = Mesh(devs, ("shard",))
+        if mesh.devices.size != len(shards):
+            raise ValueError(
+                f"mesh has {mesh.devices.size} devices but {len(shards)} shards"
+            )
+        self.mesh = mesh
+        self._stacked = None
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        data,
+        n_shards: int,
+        metric: str = "l2",
+        params: IndexParams | None = None,
+        ids: Optional[Sequence[int]] = None,
+        mesh: Optional[Mesh] = None,
+        method: str = "auto",
+        seed: int = 0,
+    ) -> "ShardedHnswIndex":
+        data = np.asarray(data)
+        n = len(data)
+        if ids is None:
+            ids = np.arange(n)
+        ids = np.asarray(ids)
+        shards = []
+        for s in range(n_shards):
+            sel = np.arange(s, n, n_shards)
+            shards.append(
+                HnswIndex.build(
+                    data[sel],
+                    metric=metric,
+                    params=params,
+                    ids=ids[sel],
+                    method=method,
+                    seed=seed + s,
+                )
+            )
+        return cls(shards, mesh=mesh)
+
+    def insert(self, value, tid: Optional[int] = None):
+        """Route to the shard with the fewest tuples."""
+        target = min(range(len(self.shards)), key=lambda s: self.shards[s].num_tuples)
+        self._stacked = None
+        return self.shards[target].insert(value, tid)
+
+    def delete(self, tids) -> int:
+        self._stacked = None
+        return sum(s.delete(tids) for s in self.shards)
+
+    @property
+    def num_tuples(self) -> int:
+        return sum(s.num_tuples for s in self.shards)
+
+    # -- stacked device arrays ----------------------------------------------
+
+    def _stack(self):
+        """Stack per-shard DeviceGraphs into [S, ...] arrays laid out with
+        the 'shard' axis sharded over the mesh."""
+        if self._stacked is not None:
+            return self._stacked
+        graphs = [s.device_graph() for s in self.shards]
+        cap = max(g.cap for g in graphs)
+        n_up = max(g.upper_neighbors.shape[0] for g in graphs)
+        lmax = max(g.upper_neighbors.shape[1] for g in graphs)
+        lm0 = max(g.neighbors0.shape[1] for g in graphs)
+        m = graphs[0].m
+
+        def padded(g: device_mod.DeviceGraph):
+            def pad2(a, r, c, fill):
+                out = np.full((r, c), fill, dtype=np.asarray(a).dtype)
+                aa = np.asarray(a)
+                out[: aa.shape[0], : aa.shape[1]] = aa
+                return out
+
+            nb0 = pad2(g.neighbors0, cap + 1, lm0, -1)
+            up = np.full((n_up, lmax, m), -1, dtype=np.int32)
+            gu = np.asarray(g.upper_neighbors)
+            up[: gu.shape[0], : gu.shape[1], :] = gu
+            uslot = np.full(cap + 1, -1, dtype=np.int32)
+            uslot[: g.upper_slot.shape[0]] = np.asarray(g.upper_slot)
+            trav = np.zeros(cap + 1, dtype=bool)
+            trav[: g.traversable.shape[0]] = np.asarray(g.traversable)
+            vals = np.zeros((cap + 1, self.dim), dtype=np.float32)
+            vals[: g.values.shape[0]] = np.asarray(g.values)
+            etid = np.full(cap + 1, -1, dtype=np.int32)
+            etid[: g.emit_tid.shape[0]] = np.asarray(g.emit_tid)
+            return nb0, up, uslot, trav, vals, etid, g.entry, g.entry_level
+
+        parts = [padded(g) for g in graphs]
+        stacked = {
+            "neighbors0": np.stack([p[0] for p in parts]),
+            "upper": np.stack([p[1] for p in parts]),
+            "upper_slot": np.stack([p[2] for p in parts]),
+            "traversable": np.stack([p[3] for p in parts]),
+            "values": np.stack([p[4] for p in parts]),
+            "emit_tid": np.stack([p[5] for p in parts]),
+            "entry": np.array([p[6] for p in parts], dtype=np.int32),
+            "entry_level": np.array([p[7] for p in parts], dtype=np.int32),
+        }
+        sharding = NamedSharding(self.mesh, P("shard"))
+        self._stacked = {
+            k: jax.device_put(v, sharding) for k, v in stacked.items()
+        }
+        self._stacked["_lmax"] = lmax
+        return self._stacked
+
+    # -- search --------------------------------------------------------------
+
+    def search(self, queries, k: int, params: SearchParams | None = None):
+        """SPMD search: local beams per shard, all-gather + merge.
+
+        Returns (operator-distances [B, k] f64, heap ids [B, k]).
+        """
+        params = params or SearchParams()
+        single = np.asarray(queries).ndim == 1
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if self.metric == "cosine":
+            from ..ops.distances import normalize_rows
+
+            q = np.asarray(normalize_rows(jnp.asarray(q)))
+
+        st = self._stack()
+        ef = max(params.ef_search, k)
+        lmax = st["_lmax"]
+        fn = _sharded_search_fn(
+            self.mesh, self.metric, ef, k, lmax, 4 * ef + 32
+        )
+        qr = jax.device_put(q, NamedSharding(self.mesh, P()))
+        d, tids = fn(
+            st["values"],
+            st["neighbors0"],
+            st["upper"],
+            st["upper_slot"],
+            st["traversable"],
+            st["emit_tid"],
+            st["entry"],
+            st["entry_level"],
+            qr,
+        )
+        d = np.asarray(d, dtype=np.float64)
+        tids = np.asarray(tids, dtype=np.int64)
+        if self.metric == "l2":
+            d = np.where(np.isfinite(d), np.sqrt(np.maximum(d, 0.0)), d)
+        if single:
+            return d[0], tids[0]
+        return d, tids
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, mesh_ref):
+    mesh = mesh_ref[0]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("shard"),
+            P("shard"),
+            P("shard"),
+            P("shard"),
+            P("shard"),
+            P("shard"),
+            P("shard"),
+            P("shard"),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def fn(values, nb0, upper, uslot, trav, etid, entry, entry_level, queries):
+        # local block: leading dim 1 (this shard)
+        beam_d, beam_ids = device_mod.beam_search_arrays(
+            values[0],
+            nb0[0],
+            upper[0],
+            uslot[0],
+            trav[0],
+            entry[0],
+            entry_level[0],
+            queries,
+            metric=metric,
+            ef=ef,
+            lmax=lmax,
+            max_steps=max_steps,
+        )
+        # element ids -> heap TIDs before leaving the shard
+        tids = jnp.where(beam_ids >= 0, etid[0][jnp.maximum(beam_ids, 0)], -1)
+        beam_d = jnp.where(tids >= 0, beam_d, jnp.inf)
+        # one collective: every shard contributes its top-ef
+        all_d = jax.lax.all_gather(beam_d, "shard")  # [S, B, ef]
+        all_t = jax.lax.all_gather(tids, "shard")
+        S, B, E = all_d.shape
+        flat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(B, S * E)
+        flat_t = jnp.transpose(all_t, (1, 0, 2)).reshape(B, S * E)
+        sd, stt = jax.lax.sort([flat_d, flat_t], num_keys=1)
+        return sd[:, :k], stt[:, :k]
+
+    return fn
+
+
+def _sharded_search_fn(mesh, metric, ef, k, lmax, max_steps):
+    # lru_cache keyed on mesh identity + static config
+    return _cached_fn(
+        (id(mesh), tuple(mesh.axis_names), mesh.devices.shape),
+        metric,
+        ef,
+        k,
+        lmax,
+        max_steps,
+        (mesh,),
+    )

@@ -15,6 +15,14 @@ if os.environ.get("PGV_TEST_PLATFORM", "cpu") == "cpu":
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The environment's TPU plugin (axon) re-registers itself via
+    # sitecustomize and overrides JAX_PLATFORMS through jax.config, so
+    # force the config back to an 8-device CPU mesh here, before any
+    # backend initialization.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,72 @@
+"""Multi-chip sharded index tests (8 virtual CPU devices via conftest)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pgvector_rx_tpu.config import SearchParams
+from pgvector_rx_tpu.parallel import ShardedHnswIndex
+
+from test_index import brute_force, recall_at_k
+
+
+@pytest.fixture(scope="module")
+def sharded_setup():
+    rng = np.random.default_rng(70)
+    data = rng.standard_normal((1200, 12)).astype(np.float32)
+    idx = ShardedHnswIndex.build(data, n_shards=8, metric="l2", method="host", seed=71)
+    return idx, data
+
+
+class TestSharded:
+    def test_devices_available(self):
+        assert len(jax.devices()) >= 8
+
+    def test_recall(self, sharded_setup):
+        idx, data = sharded_setup
+        rng = np.random.default_rng(72)
+        q = rng.standard_normal((8, 12)).astype(np.float32)
+        gt = brute_force(data, q, "l2", 10)
+        d, tids = idx.search(q, 10, SearchParams(ef_search=40))
+        assert recall_at_k(tids, gt, 10) >= 0.99
+
+    def test_matches_single_index_distances(self, sharded_setup):
+        idx, data = sharded_setup
+        q = data[17]
+        d, tids = idx.search(q, 5)
+        assert tids[0] == 17
+        assert d[0] == pytest.approx(0.0, abs=1e-5)
+        # distances are true euclidean
+        for dist, t in zip(d, tids):
+            true = np.sqrt(((data[t] - q) ** 2).sum())
+            assert dist == pytest.approx(true, rel=1e-4)
+
+    def test_results_sorted(self, sharded_setup):
+        idx, data = sharded_setup
+        d, _ = idx.search(data[3] + 0.01, 10)
+        assert list(d) == sorted(d)
+
+    def test_insert_and_delete(self, sharded_setup):
+        rng = np.random.default_rng(73)
+        data = rng.random((160, 6)).astype(np.float32)
+        idx = ShardedHnswIndex.build(
+            data, n_shards=4, metric="l2", method="host", seed=74
+        )
+        new = rng.random(6).astype(np.float32)
+        idx.insert(new, 5000)
+        d, tids = idx.search(new, 1)
+        assert tids[0] == 5000
+        idx.delete([5000])
+        d, tids = idx.search(new, 1)
+        assert tids[0] != 5000
+
+    def test_cosine_sharded(self):
+        rng = np.random.default_rng(75)
+        data = rng.standard_normal((400, 8)).astype(np.float32)
+        idx = ShardedHnswIndex.build(
+            data, n_shards=4, metric="cosine", method="host", seed=76
+        )
+        q = rng.standard_normal((4, 8)).astype(np.float32)
+        gt = brute_force(data, q, "cosine", 5)
+        _, tids = idx.search(q, 5, SearchParams(ef_search=40))
+        assert recall_at_k(tids, gt, 5) >= 0.9
