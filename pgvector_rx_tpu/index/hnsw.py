@@ -360,10 +360,21 @@ class HnswIndex:
         n = len(data)
         if ids is None:
             ids = range(n)
-        if method == "device" or (method == "auto" and kind == "dense" and n >= 20000):
+        if method == "auto" and kind == "dense":
+            if n >= 20000:
+                method = "device"
+            else:
+                from .. import native
+
+                method = "native" if native.available() else "host"
+        if method == "device":
             from ..graph import device as device_mod
 
             device_mod.bulk_build(idx, data, list(ids))
+        elif method == "native":
+            from .. import native
+
+            native.native_bulk_build(idx, data, list(ids))
         else:
             idx.add_batch(data, ids)
         return idx

@@ -1,0 +1,73 @@
+"""Native (C++) host engine tests: parity with the Python engine."""
+
+import numpy as np
+import pytest
+
+from pgvector_rx_tpu import native
+from pgvector_rx_tpu.config import SearchParams
+from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+from test_index import brute_force, recall_at_k
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native engine unavailable (no g++?)"
+)
+
+
+class TestNativeParity:
+    def test_bitexact_graph_on_integer_data(self):
+        """Integer-valued f32 sums are exact, so the two engines must
+        produce identical graphs (same RNG seed => same levels)."""
+        rng = np.random.default_rng(7)
+        data = rng.integers(0, 50, size=(400, 8)).astype(np.float32)
+        a = HnswIndex.build(data, metric="l2", method="host", seed=7)
+        b = HnswIndex.build(data, metric="l2", method="native", seed=7)
+        assert a.entry == b.entry
+        assert a.heap_tids == b.heap_tids
+        for ae, be in zip(a.elements, b.elements):
+            assert ae.level == be.level
+            assert ae.neighbors == be.neighbors
+
+    @pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
+    def test_recall(self, metric):
+        rng = np.random.default_rng(80)
+        data = rng.standard_normal((1500, 16)).astype(np.float32)
+        idx = HnswIndex.build(data, metric=metric, method="native", seed=81)
+        q = rng.standard_normal((20, 16)).astype(np.float32)
+        gt = brute_force(data, q, metric, 10)
+        _, ids = idx.search(q, 10, SearchParams(ef_search=64), method="host")
+        assert recall_at_k(ids, gt, 10) >= 0.93
+
+    def test_duplicates(self):
+        data = np.tile(np.array([[1.0, 2.0, 3.0]], dtype=np.float32), (20, 1))
+        idx = HnswIndex.build(data, metric="l2", method="native")
+        counts = sorted((len(t) for t in idx.heap_tids if t), reverse=True)
+        assert counts[0] == 10
+        assert idx.num_tuples == 20
+
+    def test_native_search_matches_host_scan(self):
+        rng = np.random.default_rng(82)
+        data = rng.integers(0, 100, size=(500, 8)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="native", seed=83)
+        g = native.NativeGraph(8, idx.params.m, idx.params.ef_construction, "l2")
+        # rebuild native graph from same inputs for search comparison
+        levels = np.array([e.level for e in idx.elements], dtype=np.int32)
+        tids = np.array([t[0] for t in idx.heap_tids], dtype=np.int64)
+        g.bulk_insert(idx.store.rows[: len(levels)].astype(np.float32), levels, tids)
+        for qi in (3, 77, 123):
+            q = data[qi].astype(np.float32)
+            nd, nids = g.search(q, 10)
+            hd, hids = idx.search(q, 10, SearchParams(ef_search=10), method="host")
+            # native returns element ids/order distances; host returns
+            # heap tids/operator distances
+            np.testing.assert_allclose(np.sqrt(nd), hd[: len(nd)], rtol=1e-5)
+
+    def test_mutation_after_native_build(self):
+        rng = np.random.default_rng(84)
+        data = rng.random((300, 8)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="native", seed=85)
+        idx.insert(rng.random(8).astype(np.float32), 777)
+        idx.delete([0, 1])
+        _, ids = idx.search(data[10], 5, method="host")
+        assert 10 in set(ids)
+        assert not ({0, 1} & set(ids))
