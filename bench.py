@@ -62,7 +62,7 @@ def brute_force_gt(data, queries, k, tile=200_000):
 def main():
     n = int(os.environ.get("PGV_BENCH_N", 100_000))
     n_q = int(os.environ.get("PGV_BENCH_Q", 1000))
-    batch = int(os.environ.get("PGV_BENCH_BATCH", 512))
+    batch = int(os.environ.get("PGV_BENCH_BATCH", 1024))
     dim = int(os.environ.get("PGV_BENCH_DIM", 128))
     k = 10
 
@@ -96,26 +96,30 @@ def main():
     g = index.device_graph()
     emit_tid = np.asarray(g.emit_tid)
 
+    expand = int(os.environ.get("PGV_BENCH_EXPAND", 4))
+
     def run_queries(ef):
         """Batched device search over all queries; returns (ids, qps)."""
         max_steps = 4 * ef + 32
         out = np.full((n_q, k), -1, dtype=np.int64)
         # warmup/compile
-        qb = device_mod.prepare_queries(index, list(queries[:batch]))
-        device_mod._search_batch(g, qb, ef, g.entry_level, max_steps)[0].block_until_ready()
+        qb = device_mod.prepare_query_matrix(index, queries[:batch])
+        device_mod._search_batch(
+            g, qb, ef, g.entry_level, max_steps, expand
+        )[0].block_until_ready()
         t0 = time.time()
         for start in range(0, n_q, batch):
             q = queries[start : start + batch]
             if len(q) < batch:  # pad to keep one compiled shape
                 q = np.concatenate([q, np.zeros((batch - len(q), dim), np.float32)])
-            qb = device_mod.prepare_queries(index, list(q))
+            qb = device_mod.prepare_query_matrix(index, q)
             beam_d, beam_ids, _ = device_mod._search_batch(
-                g, qb, ef, g.entry_level, max_steps
+                g, qb, ef, g.entry_level, max_steps, expand
             )
             ids = np.asarray(beam_ids)[: min(batch, n_q - start), :k]
-            out[start : start + ids.shape[0]] = emit_tid[np.maximum(ids, 0)] * (
-                ids >= 0
-            ) + (-1) * (ids < 0)
+            out[start : start + ids.shape[0]] = np.where(
+                ids >= 0, emit_tid[np.maximum(ids, 0)], -1
+            )
         dt = time.time() - t0
         return out, n_q / dt
 

@@ -262,14 +262,27 @@ def _greedy_descent(g: DeviceGraph, q, entry_id, entry_dist, layer: int):
     return cur, cur_d
 
 
-def _ground_beam(g: DeviceGraph, q, entry_id, entry_dist, ef: int, max_steps: int):
+def _ground_beam(
+    g: DeviceGraph,
+    q,
+    entry_id,
+    entry_dist,
+    ef: int,
+    max_steps: int,
+    expand: int = 1,
+):
     """Beam search at layer 0 with beam size ef (single query; vmapped).
 
-    Returns (beam_d [ef], beam_ids [ef]) sorted nearest first, plus the
-    visited bitmap row and step count (stats / iterative-scan reuse).
-    """
-    lm0 = g.neighbors0.shape[1]
+    ``expand`` > 1 pops the E best unexpanded candidates per step
+    (multi-expansion beam): E x fewer sequential loop iterations at the
+    cost of occasionally expanding a candidate strict best-first would
+    have skipped — recall-neutral in practice and much faster on TPU,
+    where the loop itself (not the expansion work) is the bottleneck.
+    expand=1 reproduces the reference's Algorithm 2 expansion order
+    exactly (graph/mod.rs:186-192).
 
+    Returns (beam_d [ef], beam_ids [ef]) sorted nearest first + steps.
+    """
     beam_d = jnp.full((ef,), jnp.inf, dtype=jnp.float32).at[0].set(entry_dist)
     beam_ids = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(entry_id)
     beam_exp = jnp.ones((ef,), dtype=jnp.int32).at[0].set(0)  # 1 = expanded/pad
@@ -285,14 +298,29 @@ def _ground_beam(g: DeviceGraph, q, entry_id, entry_dist, ef: int, max_steps: in
     def body(state):
         beam_d, beam_ids, beam_exp, visited, steps = state
         unexp_d = jnp.where(beam_exp == 1, jnp.inf, beam_d)
-        pos = jnp.argmin(unexp_d)
-        u = beam_ids[pos]
+        if expand == 1:
+            pos = jnp.argmin(unexp_d)[None]  # [1]
+        else:
+            _, pos = jax.lax.top_k(-unexp_d, expand)  # [E] best unexpanded
+        u = beam_ids[pos]  # [E]
+        # only expand slots that are genuinely unexpanded & valid
+        sel_valid = jnp.isfinite(unexp_d[pos])
         beam_exp = beam_exp.at[pos].set(1)
 
-        nbrs = g.neighbors0[jnp.maximum(u, 0)]  # [2M]
+        nbrs = g.neighbors0[jnp.maximum(u, 0)]  # [E, 2M]
+        nbrs = jnp.where(sel_valid[:, None], nbrs, -1).reshape(-1)  # [E*2M]
         safe = jnp.clip(nbrs, 0, g.cap)
         mask = (nbrs >= 0) & ~visited[safe] & g.traversable[safe]
         visited = visited.at[jnp.where(nbrs >= 0, nbrs, g.cap)].set(True)
+        # dedupe duplicates inside this expansion batch: keep first hit
+        if expand > 1:
+            order = jnp.argsort(nbrs)
+            srt = nbrs[order]
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), srt[1:] == srt[:-1]]
+            )
+            undup = jnp.zeros_like(mask).at[order].set(~dup)
+            mask = mask & undup
 
         d_new = _dist_ids(g, q, nbrs)
         d_new = jnp.where(mask, d_new, jnp.inf)
@@ -313,9 +341,16 @@ def _ground_beam(g: DeviceGraph, q, entry_id, entry_dist, ef: int, max_steps: in
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ef", "entry_level", "max_steps")
+    jax.jit, static_argnames=("ef", "entry_level", "max_steps", "expand")
 )
-def _search_batch(g: DeviceGraph, queries, ef: int, entry_level: int, max_steps: int):
+def _search_batch(
+    g: DeviceGraph,
+    queries,
+    ef: int,
+    entry_level: int,
+    max_steps: int,
+    expand: int = 1,
+):
     """Full Algorithm-5 search for a batch of prepared queries."""
 
     def one(q):
@@ -324,7 +359,7 @@ def _search_batch(g: DeviceGraph, queries, ef: int, entry_level: int, max_steps:
         cur, cur_d = entry, d0
         for layer in range(entry_level, 0, -1):
             cur, cur_d = _greedy_descent(g, q, cur, cur_d, layer)
-        return _ground_beam(g, q, cur, cur_d, ef, max_steps)
+        return _ground_beam(g, q, cur, cur_d, ef, max_steps, expand)
 
     return jax.vmap(one)(queries)
 
@@ -372,6 +407,19 @@ jax.tree_util.register_pytree_node(
 # ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
+
+
+def prepare_query_matrix(index, q: np.ndarray):
+    """Vectorized dense-query canonicalization (no per-row Python loop).
+
+    Cosine: rows are L2-normalized; zero rows stay zero (the reference's
+    normalize semantics, vector.rs:688-711).
+    """
+    q = np.asarray(q, dtype=np.float32)
+    if index.metric == "cosine":
+        n = np.linalg.norm(q, axis=1, keepdims=True)
+        q = np.where(n > 0, q / np.where(n > 0, n, 1.0), 0.0).astype(np.float32)
+    return jnp.asarray(q)
 
 
 def prepare_queries(index, qlist):
