@@ -68,6 +68,15 @@ def main():
 
     import jax
 
+    # persistent compilation cache: repeat runs skip the (minutes-long)
+    # XLA compiles of the build/search programs
+    cache_dir = os.environ.get("PGV_JAX_CACHE", "/root/.cache/pgv_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     log(f"devices: {jax.devices()}")
     from pgvector_rx_tpu.config import SearchParams
     from pgvector_rx_tpu.graph import device as device_mod
