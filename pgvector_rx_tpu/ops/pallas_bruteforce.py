@@ -1,0 +1,133 @@
+"""Pallas fused brute-force k-NN kernel (exact search / FlatIndex hot op).
+
+The exact-scan path computes query-base scores and a top-k in one fused
+kernel instead of XLA's materialize-[B,N]-then-top_k: scores for one
+(query-tile, base-tile) pair come off the MXU, and a running top-k per
+query lives in VMEM scratch across base tiles (the grid's inner
+dimension), so the [B, N] score matrix never touches HBM. This is the
+TPU-KNN formulation (PAPERS.md) of pgvector's seqscan ordering.
+
+Selection is exact: K passes of (row-min, mask) extract the tile's best
+K, then K more passes merge them into the running best — O(K·TN) VPU
+work per tile, negligible next to the MXU matmul.
+
+For ranking, L2 uses the monotone surrogate ||x||^2 - 2 q.x (dropping
+the per-query ||q||^2); callers add q2 back for true distances.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_BIG = float(3.0e38)
+
+
+def _topk_kernel(q_ref, x_ref, x2_ref, out_d_ref, out_i_ref, k: int, tn: int):
+    """Grid = (B tiles, N tiles); N is innermost so the running top-k in
+    out_d_ref/out_i_ref (indexed by the query tile only) accumulates."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_d_ref[:] = jnp.full_like(out_d_ref, _NEG_BIG)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    # scores [TB, TN]: ||x||^2 - 2 q.x  (monotone in true l2 distance)
+    qx = jax.lax.dot_general(
+        q_ref[:],
+        x_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = x2_ref[:] - 2.0 * qx  # x2 [1, TN] broadcasts
+
+    base_col = j * tn
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base_col
+
+    # K-pass extraction + merge with the running best
+    cur_d = out_d_ref[:]
+    cur_i = out_i_ref[:]
+    for _ in range(k):
+        m = jnp.min(scores, axis=1, keepdims=True)  # [TB, 1]
+        is_min = scores == m
+        # leftmost argmin
+        first = jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1
+        pick = is_min & first
+        picked_id = jnp.max(jnp.where(pick, col_ids, -1), axis=1, keepdims=True)
+        # replace the current worst if the tile min beats it
+        worst = jnp.max(cur_d, axis=1, keepdims=True)
+        worst_pos = cur_d == worst
+        worst_first = jnp.cumsum(worst_pos.astype(jnp.int32), axis=1) == 1
+        take = (m < worst) & worst_pos & worst_first
+        cur_d = jnp.where(take, jnp.broadcast_to(m, cur_d.shape), cur_d)
+        cur_i = jnp.where(take, jnp.broadcast_to(picked_id, cur_i.shape), cur_i)
+        # knock the extracted score out of the tile
+        scores = jnp.where(pick, _NEG_BIG, scores)
+    out_d_ref[:] = cur_d
+    out_i_ref[:] = cur_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tb", "tn", "interpret"))
+def l2_topk(
+    base: jax.Array,  # [N, D] f32
+    queries: jax.Array,  # [B, D] f32
+    k: int,
+    tb: int = 128,
+    tn: int = 2048,
+    interpret: bool = False,
+):
+    """Exact k nearest (squared-l2) -> (dists [B,k], ids [B,k]), sorted."""
+    n, d = base.shape
+    b = queries.shape[0]
+    # pad to tile multiples
+    pb = (-b) % tb
+    pn = (-n) % tn
+    q = jnp.pad(queries.astype(jnp.float32), ((0, pb), (0, 0)))
+    x = jnp.pad(base.astype(jnp.float32), ((0, pn), (0, 0)))
+    x2 = jnp.sum(x * x, axis=1)[None, :]
+    # padded base rows must never win
+    if pn:
+        x2 = x2.at[0, n:].set(_NEG_BIG)
+
+    grid = (q.shape[0] // tb, x.shape[0] // tn)
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_topk_kernel, k=k, tn=tn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q.shape[0], k), jnp.float32),
+            jax.ShapeDtypeStruct((q.shape[0], k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, x, x2)
+
+    out_d = out_d[:b]
+    out_i = out_i[:b]
+    # surrogate -> true squared distance, and sort each row ascending
+    q2 = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    true_d = jnp.maximum(out_d + q2, 0.0)
+    true_d = jnp.where(out_i >= 0, true_d, jnp.inf)
+    sd, si = jax.lax.sort([true_d, out_i], num_keys=1)
+    return sd, si
+
+
+def available() -> bool:
+    """True when the current default backend can run the compiled kernel."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
