@@ -405,6 +405,66 @@ jax.tree_util.register_pytree_node(
 
 
 # ---------------------------------------------------------------------------
+# Exact serving engine (dense): one MXU matmul + top-k over the live rows
+# ---------------------------------------------------------------------------
+
+# Above this many rows per chip the exact sweep's FLOPs start losing to the
+# beam's bandwidth cost; overridable for benchmarking/serving tuning.
+EXACT_ENGINE_MAX_ROWS = 4_000_000
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _exact_search_batch(g: DeviceGraph, queries, k: int):
+    """Exact top-k over the index's live dense rows.
+
+    TPU-first serving path: below ~10M rows/chip a single
+    [B, D] x [D, N] MXU matmul + top-k is faster than any graph
+    traversal (whose random row gathers run ~25x below HBM
+    speed-of-light), and returns recall-1.0 results. Semantically it is
+    the same contract as the HNSW scan (nearest TIDs by order
+    distance), so `search(method="auto")` uses it whenever the corpus
+    fits. Masks vacuum-deleted elements and zero-TID slots like
+    search_layer_disk's deleted/type checks (scan.rs:155-228).
+
+    Returns (dists [B, k], element ids [B, k]) sorted nearest-first.
+    """
+    dots = jax.lax.dot_general(
+        queries,
+        g.values,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, cap+1]
+    if g.metric == "l2":
+        x2 = jnp.sum(g.values * g.values, axis=1)
+        q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+        scores = jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
+    elif g.metric == "ip":
+        scores = -dots
+    elif g.metric == "cosine":
+        scores = 1.0 - jnp.clip(dots, -1.0, 1.0)
+    else:  # l1 — chunked VPU sweep
+        CH = 8192
+        cap1 = g.values.shape[0]
+        pad = (-cap1) % CH
+
+        def chunk(x_chunk):
+            return jnp.sum(
+                jnp.abs(queries[:, None, :] - x_chunk[None, :, :]), axis=-1
+            )
+
+        xp = jnp.pad(g.values, ((0, pad), (0, 0)))
+        parts = jax.lax.map(chunk, xp.reshape(-1, CH, queries.shape[1]))
+        scores = jnp.moveaxis(parts, 0, 1).reshape(queries.shape[0], -1)[
+            :, :cap1
+        ]
+    live = g.traversable & (g.tid_count > 0)
+    scores = jnp.where(live[None, :], scores, jnp.inf)
+    neg_d, ids = jax.lax.top_k(-scores, k)
+    d = -neg_d
+    return d, jnp.where(jnp.isfinite(d), ids, -1)
+
+
+# ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
 
@@ -453,8 +513,13 @@ def prepare_queries(index, qlist):
     return jnp.asarray(qi), jnp.asarray(qv)
 
 
-def search(index, qlist, k: int, params):
-    """Batched device k-NN -> (order-dists [B,k] f64, heap ids [B,k])."""
+def search(index, qlist, k: int, params, engine: str = "auto"):
+    """Batched device k-NN -> (order-dists [B,k] f64, heap ids [B,k]).
+
+    engine: "beam" walks the HNSW graph (batched beam search), "exact"
+    runs the MXU exact sweep (dense only), "auto" picks exact for dense
+    corpora up to EXACT_ENGINE_MAX_ROWS and beam otherwise.
+    """
     g = index.device_graph()
     B = len(qlist)
     if g.entry < 0 or B == 0:
@@ -465,11 +530,19 @@ def search(index, qlist, k: int, params):
     queries = prepare_queries(index, qlist)
     ef = max(params.ef_search, 1)
     max_steps = 4 * ef + 32
+    if engine == "auto":
+        engine = (
+            "exact"
+            if index.kind == "dense" and g.cap <= EXACT_ENGINE_MAX_ROWS
+            else "beam"
+        )
     if index.kind == "sparse":
         qtuple = queries
         beam_d, beam_ids, _ = jax.vmap(
             lambda qi, qv: _search_one_sparse(g, (qi, qv), ef, max_steps)
         )(qtuple[0], qtuple[1])
+    elif engine == "exact" and index.kind == "dense":
+        beam_d, beam_ids = _exact_search_batch(g, queries, max(k, 1))
     else:
         beam_d, beam_ids, _ = _search_batch(
             g, queries, ef, g.entry_level, max_steps

@@ -209,19 +209,22 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
     """Batch k-NN. Returns (distances [B,k] operator-domain, ids [B,k]).
 
     method="host" walks the reference scan path per query;
-    method="device" uses the batched beam search. "auto" picks device
-    for dense indexes with a device graph warm or large batches.
+    method="device" uses the batched beam search over the device graph;
+    method="exact" uses the MXU exact sweep (dense only); "auto" picks
+    the device for dense batches >= 32 queries, letting the device layer
+    choose exact vs beam by corpus size (graph/device.py).
     """
     single = _is_single_query(index, queries)
     qlist = [queries] if single else list(queries)
 
-    use_device = method == "device" or (
+    engine = {"device": "beam", "exact": "exact", "auto": "auto"}.get(method)
+    use_device = method in ("device", "exact") or (
         method == "auto" and index.kind == "dense" and len(qlist) >= 32
     )
     if use_device:
         from ..graph import device as device_mod
 
-        dists, ids = device_mod.search(index, qlist, k, params)
+        dists, ids = device_mod.search(index, qlist, k, params, engine=engine)
     else:
         B = len(qlist)
         dists = np.full((B, k), np.inf, dtype=np.float64)

@@ -28,9 +28,16 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_BIG = float(3.0e38)
 
 
+_INT_BIG = np.int32(2**31 - 1)
+
+
 def _topk_kernel(q_ref, x_ref, x2_ref, out_d_ref, out_i_ref, k: int, tn: int):
     """Grid = (B tiles, N tiles); N is innermost so the running top-k in
-    out_d_ref/out_i_ref (indexed by the query tile only) accumulates."""
+    out_d_ref/out_i_ref (indexed by the query tile only) accumulates.
+
+    Leftmost-argmin / worst-slot selection use iota-min tricks (min over
+    `where(cond, iota, INT_MAX)`) — Mosaic has no cumsum lowering.
+    """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -38,7 +45,8 @@ def _topk_kernel(q_ref, x_ref, x2_ref, out_d_ref, out_i_ref, k: int, tn: int):
         out_d_ref[:] = jnp.full_like(out_d_ref, _NEG_BIG)
         out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
-    # scores [TB, TN]: ||x||^2 - 2 q.x  (monotone in true l2 distance)
+    # scores [TB, TN]: ||x||^2 - 2 q.x  (monotone in true l2 distance;
+    # with x2 == 0 this is -2 q.x, monotone in the IP order distance)
     qx = jax.lax.dot_general(
         q_ref[:],
         x_ref[:],
@@ -49,6 +57,7 @@ def _topk_kernel(q_ref, x_ref, x2_ref, out_d_ref, out_i_ref, k: int, tn: int):
 
     base_col = j * tn
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base_col
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, out_d_ref.shape, 1)
 
     # K-pass extraction + merge with the running best
     cur_d = out_d_ref[:]
@@ -56,41 +65,54 @@ def _topk_kernel(q_ref, x_ref, x2_ref, out_d_ref, out_i_ref, k: int, tn: int):
     for _ in range(k):
         m = jnp.min(scores, axis=1, keepdims=True)  # [TB, 1]
         is_min = scores == m
-        # leftmost argmin
-        first = jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1
-        pick = is_min & first
-        picked_id = jnp.max(jnp.where(pick, col_ids, -1), axis=1, keepdims=True)
-        # replace the current worst if the tile min beats it
+        # leftmost argmin via iota-min
+        pick_col = jnp.min(
+            jnp.where(is_min, col_ids, _INT_BIG), axis=1, keepdims=True
+        )
+        pick = col_ids == pick_col
+        # replace the current worst slot if the tile min beats it
         worst = jnp.max(cur_d, axis=1, keepdims=True)
-        worst_pos = cur_d == worst
-        worst_first = jnp.cumsum(worst_pos.astype(jnp.int32), axis=1) == 1
-        take = (m < worst) & worst_pos & worst_first
+        worst_slot = jnp.min(
+            jnp.where(cur_d == worst, slot_ids, _INT_BIG), axis=1, keepdims=True
+        )
+        take = (m < worst) & (slot_ids == worst_slot)
         cur_d = jnp.where(take, jnp.broadcast_to(m, cur_d.shape), cur_d)
-        cur_i = jnp.where(take, jnp.broadcast_to(picked_id, cur_i.shape), cur_i)
+        cur_i = jnp.where(take, jnp.broadcast_to(pick_col, cur_i.shape), cur_i)
         # knock the extracted score out of the tile
         scores = jnp.where(pick, _NEG_BIG, scores)
     out_d_ref[:] = cur_d
     out_i_ref[:] = cur_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tb", "tn", "interpret"))
-def l2_topk(
-    base: jax.Array,  # [N, D] f32
-    queries: jax.Array,  # [B, D] f32
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_x2", "tb", "tn", "interpret")
+)
+def _surrogate_topk(
+    base: jax.Array,  # [N, D]
+    queries: jax.Array,  # [B, D]
     k: int,
-    tb: int = 128,
-    tn: int = 2048,
-    interpret: bool = False,
+    use_x2: bool,
+    tb: int,
+    tn: int,
+    interpret: bool,
 ):
-    """Exact k nearest (squared-l2) -> (dists [B,k], ids [B,k]), sorted."""
+    """Run the fused kernel on surrogate scores.
+
+    use_x2=True: score = ||x||^2 - 2 q.x (monotone in squared l2).
+    use_x2=False: score = -2 q.x (monotone in -dot, the IP order
+    distance; with pre-normalized inputs also monotone in cosine
+    distance). Returns (scores [B,k], ids [B,k]) sorted ascending.
+    """
     n, d = base.shape
     b = queries.shape[0]
-    # pad to tile multiples
     pb = (-b) % tb
     pn = (-n) % tn
     q = jnp.pad(queries.astype(jnp.float32), ((0, pb), (0, 0)))
     x = jnp.pad(base.astype(jnp.float32), ((0, pn), (0, 0)))
-    x2 = jnp.sum(x * x, axis=1)[None, :]
+    if use_x2:
+        x2 = jnp.sum(x * x, axis=1)[None, :]
+    else:
+        x2 = jnp.zeros((1, x.shape[0]), jnp.float32)
     # padded base rows must never win
     if pn:
         x2 = x2.at[0, n:].set(_NEG_BIG)
@@ -117,12 +139,42 @@ def l2_topk(
 
     out_d = out_d[:b]
     out_i = out_i[:b]
-    # surrogate -> true squared distance, and sort each row ascending
-    q2 = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-    true_d = jnp.maximum(out_d + q2, 0.0)
-    true_d = jnp.where(out_i >= 0, true_d, jnp.inf)
-    sd, si = jax.lax.sort([true_d, out_i], num_keys=1)
+    sd, si = jax.lax.sort(
+        [jnp.where(out_i >= 0, out_d, jnp.inf), out_i], num_keys=1
+    )
     return sd, si
+
+
+def l2_topk(
+    base: jax.Array,  # [N, D] f32
+    queries: jax.Array,  # [B, D] f32
+    k: int,
+    tb: int = 128,
+    tn: int = 2048,
+    interpret: bool = False,
+):
+    """Exact k nearest (squared-l2) -> (dists [B,k], ids [B,k]), sorted."""
+    sd, si = _surrogate_topk(base, queries, k, True, tb, tn, interpret)
+    # surrogate -> true squared distance
+    q2 = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    true_d = jnp.where(si >= 0, jnp.maximum(sd + q2, 0.0), jnp.inf)
+    return true_d, si
+
+
+def ip_topk(base, queries, k: int, tb: int = 128, tn: int = 2048,
+            interpret: bool = False):
+    """Exact k largest inner products -> IP order distances (-dot) + ids."""
+    sd, si = _surrogate_topk(base, queries, k, False, tb, tn, interpret)
+    return jnp.where(si >= 0, sd * 0.5, jnp.inf), si
+
+
+def cosine_topk(base_normed, queries_normed, k: int, tb: int = 128,
+                tn: int = 2048, interpret: bool = False):
+    """Exact k nearest by cosine distance over PRE-NORMALIZED rows."""
+    sd, si = _surrogate_topk(base_normed, queries_normed, k, False, tb, tn,
+                             interpret)
+    d = 1.0 + jnp.clip(sd * 0.5, -1.0, 1.0)
+    return jnp.where(si >= 0, d, jnp.inf), si
 
 
 def available() -> bool:

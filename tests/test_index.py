@@ -391,3 +391,40 @@ class TestOtherTypes:
         assert idx.store.rows.dtype == np.float16
         _, ids = idx.search(data[5], 3, method="host")
         assert ids[0] == 5
+
+
+class TestExactEngine:
+    def test_exact_engine_matches_ground_truth(self):
+        import numpy as np
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(3)
+        data = rng.standard_normal((300, 16)).astype(np.float32)
+        index = HnswIndex.build(data, metric="l2", method="host", seed=0)
+        q = data[:40] + 0.01 * rng.standard_normal((40, 16)).astype(np.float32)
+        d_ex, i_ex = index.search(q, 5, SearchParams(), method="exact")
+        # brute force ground truth
+        full = np.linalg.norm(data[None, :, :] - q[:, None, :], axis=-1)
+        gt = np.argsort(full, axis=1)[:, :5]
+        assert (i_ex == gt).mean() > 0.99
+        np.testing.assert_allclose(
+            d_ex, np.take_along_axis(full, gt, axis=1), rtol=1e-4, atol=1e-4
+        )
+
+    def test_exact_engine_respects_deletes(self):
+        import numpy as np
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(4)
+        data = rng.standard_normal((100, 8)).astype(np.float32)
+        index = HnswIndex.build(data, metric="l2", method="host", seed=0)
+        d0, i0 = index.search(data[7], 1, method="exact")
+        assert i0[0] == 7
+        index.delete([7])
+        index.vacuum()
+        d1, i1 = index.search(np.atleast_2d(data[7]), 3, method="exact")
+        assert 7 not in set(i1[0].tolist())
