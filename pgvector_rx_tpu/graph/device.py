@@ -709,7 +709,8 @@ def beam_search_arrays(
 
 
 def bulk_build(index, data, ids):
-    """Batched device bulk build. Currently delegates to the sequential
-    host loop; replaced by the batched insertion pipeline (device_build)
-    in the next milestone."""
-    index.add_batch(data, ids)
+    """Batched device bulk build (device_build.py: exact MXU-scored
+    frozen-snapshot batch insertion)."""
+    from . import device_build
+
+    device_build.bulk_build(index, data, ids)

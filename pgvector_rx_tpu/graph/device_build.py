@@ -46,6 +46,9 @@ import numpy as np
 
 from ..constants import hnsw_get_layer_m
 
+# below this corpus size exact top_k is cheap; above it use approx_min_k
+_APPROX_TOPK_MIN = 16384
+
 
 class BuildArrays(NamedTuple):
     """Mutable graph state threaded through the jitted steps."""
@@ -57,6 +60,25 @@ class BuildArrays(NamedTuple):
     alive: jax.Array  # [cap+1] bool — committed, not duplicate-folded
     entry: jax.Array  # scalar int32 (-1 empty)
     entry_level: jax.Array  # scalar int32
+
+
+class BuildData(NamedTuple):
+    """Immutable per-build device arrays, passed as ARGUMENTS to every
+    jitted step (never closed over: a closed-over array is baked into
+    the HLO as a literal, which bloats compile time and defeats the
+    persistent compilation cache across builds)."""
+
+    vectors: jax.Array  # [cap+1, D] f32
+    x2: jax.Array  # [cap+1] f32, ||x||^2 per row
+    levels: jax.Array  # [cap+1] int32
+    upper_slot: jax.Array  # [cap+1] int32
+    # compact view of the ~N/m elements with level >= 1: upper-layer
+    # candidate generation scores against THESE rows only instead of
+    # re-sweeping (and re-top_k'ing) the full corpus per layer
+    upper_vectors: jax.Array  # [U+1, D] f32
+    upper_x2: jax.Array  # [U+1] f32
+    upper_ids: jax.Array  # [U+1] int32 element id per slot (pad=cap)
+    upper_level_masks: jax.Array  # [LMAX, U+1] bool (level >= layer)
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +157,44 @@ def _select_neighbors_batch(cand_d, cand_ids, pair, lm: int):
     return out_d, out_ids
 
 
+def _select_neighbors_parallel(cand_d, cand_ids, pair, lm: int):
+    """Parallel relative-neighborhood selection (device-build variant).
+
+    The reference heuristic (graph/mod.rs:269-308) keeps candidate i iff
+    it is closer to the query than to every previously KEPT candidate —
+    an inherently sequential chain (a fori_loop of C dependent steps,
+    which is latency-bound on TPU). This variant tests i against every
+    CLOSER candidate j (kept or not): keep_i = min_{j<i} pair[i,j] >
+    d_i — one masked matrix reduction, fully parallel. It prunes at
+    least as hard as the reference rule; the backfill then tops the
+    list up with the nearest discarded candidates exactly like the
+    reference's "keep pruned connections" pass, so out-degree is
+    unchanged. Build-recall parity is enforced by tests.
+
+    cand_d/cand_ids [B, C] sorted nearest-first (+inf/-1 pads).
+    Returns (d, ids) [B, min(lm, C)] in keep order + backfill.
+    """
+    B, C = cand_d.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)  # j index (rows)
+    earlier = pos < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    # min over earlier candidates j of pair[j, i]
+    masked = jnp.where(earlier[None], pair, jnp.inf)  # pair[b, j, i]
+    min_earlier = jnp.min(masked, axis=1)  # [B, C]
+    valid = jnp.isfinite(cand_d)
+    keep = (min_earlier > cand_d) & valid
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    keep = keep & (rank <= lm)
+
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    priority = jnp.where(keep, 0, jnp.where(valid, 1, 2)).astype(jnp.int32)
+    order = jnp.argsort(priority * C + cpos, axis=1)[:, :lm]
+    out_d = jnp.take_along_axis(cand_d, order, axis=1)
+    out_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+    out_ids = jnp.where(jnp.isfinite(out_d), out_ids, -1)
+    out_d = jnp.where(jnp.isfinite(out_d), out_d, jnp.inf)
+    return out_d, out_ids
+
+
 # ---------------------------------------------------------------------------
 # per-batch search step (jitted)
 # ---------------------------------------------------------------------------
@@ -171,17 +231,20 @@ class DeviceBuilder:
         self.levels = jnp.asarray(
             np.concatenate([levels.astype(np.int32), [-1]])
         )
-        # [LMAX+1, cap+1] per-layer candidate masks (level >= layer)
-        lvl = np.concatenate([levels.astype(np.int32), [-1]])
-        self.level_masks = jnp.asarray(
-            lvl[None, :] >= np.arange(self.lmax + 1, dtype=np.int32)[:, None]
-        )
-
         upper_slot = np.full(self.cap + 1, -1, dtype=np.int32)
         ups = np.nonzero(levels >= 1)[0]
         upper_slot[ups] = np.arange(len(ups), dtype=np.int32)
         self.upper_slot = jnp.asarray(upper_slot)
         self.n_upper = len(ups)
+        up_vecs = np.concatenate(
+            [vectors.astype(np.float32)[ups], np.zeros((1, self.dim), np.float32)]
+        )
+        up_ids = np.concatenate([ups, [self.cap]]).astype(np.int32)
+        up_levels = np.concatenate([levels.astype(np.int32)[ups], [-1]])
+        up_masks = (
+            up_levels[None, :]
+            >= np.arange(1, self.lmax + 1, dtype=np.int32)[:, None]
+        )
 
         self.arrays = BuildArrays(
             neighbors0=jnp.full((self.cap + 1, self.lm0), -1, dtype=jnp.int32),
@@ -196,16 +259,25 @@ class DeviceBuilder:
             entry=jnp.int32(-1),
             entry_level=jnp.int32(-1),
         )
-        # ||x||^2 per row, used by the MXU scoring identity
-        self._x2 = jnp.sum(self.vectors * self.vectors, axis=1)
+        up_vecs_j = jnp.asarray(up_vecs)
+        self.data = BuildData(
+            vectors=self.vectors,
+            x2=jnp.sum(self.vectors * self.vectors, axis=1),
+            levels=self.levels,
+            upper_slot=self.upper_slot,
+            upper_vectors=up_vecs_j,
+            upper_x2=jnp.sum(up_vecs_j * up_vecs_j, axis=1),
+            upper_ids=jnp.asarray(up_ids),
+            upper_level_masks=jnp.asarray(up_masks),
+        )
         self._search_jit = jax.jit(self._score_select_step)
-        self._fwd_jit = jax.jit(self._fwd_commit_step, donate_argnums=(0,))
-        self._be0_jit = jax.jit(self._backedge0_step, donate_argnums=(0, 1))
-        self._beu_jit = jax.jit(self._backedge_upper_step, donate_argnums=(0, 1))
+        self._fwd_jit = jax.jit(self._fwd_commit_step, donate_argnums=(1,))
+        self._be0_jit = jax.jit(self._backedge0_step, donate_argnums=(1, 2))
+        self._beu_jit = jax.jit(self._backedge_upper_compact, donate_argnums=(1, 2))
 
     # -- step 1: exact scoring + per-layer selection -------------------------
 
-    def _score_all(self, q_rows):
+    def _score_all(self, data: BuildData, q_rows, vectors=None, x2=None):
         """Order distances from batch queries to EVERY row: [B, cap+1].
 
         The TPU-native replacement for per-element graph descent during
@@ -214,16 +286,19 @@ class DeviceBuilder:
         there is no data-dependent traversal at all. Total build FLOPs
         are ~N^2*D/2 — minutes at 10M rows, milliseconds at 100k.
         """
+        vectors = data.vectors if vectors is None else vectors
+        x2 = data.x2 if x2 is None else x2
+        n_rows = vectors.shape[0]
         if self.metric in ("l2", "ip", "cosine"):
             dots = jax.lax.dot_general(
                 q_rows,
-                self.vectors,
+                vectors,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [B, cap+1]
+            )  # [B, n_rows]
             if self.metric == "l2":
                 q2 = jnp.sum(q_rows * q_rows, axis=1, keepdims=True)
-                return jnp.maximum(q2 + self._x2[None, :] - 2.0 * dots, 0.0)
+                return jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
             if self.metric == "ip":
                 return -dots
             return 1.0 - jnp.clip(dots, -1.0, 1.0)
@@ -235,54 +310,91 @@ class DeviceBuilder:
                 jnp.abs(q_rows[:, None, :] - x_chunk[None, :, :]), axis=-1
             )  # [B, CH]
 
-        pad = (-(self.cap + 1)) % CH
-        xp = jnp.pad(self.vectors, ((0, pad), (0, 0)))
+        pad = (-n_rows) % CH
+        xp = jnp.pad(vectors, ((0, pad), (0, 0)))
         parts = jax.lax.map(chunk, xp.reshape(-1, CH, self.dim))
         return jnp.moveaxis(parts, 0, 1).reshape(q_rows.shape[0], -1)[
-            :, : self.cap + 1
+            :, :n_rows
         ]
 
-    def _score_select_step(self, alive, new_ids, batch_mask, count):
-        """Exact top-ef_construction candidates + Alg. 4 selection, all
-        layers at once.
+    def _candidates_to_selection(self, data, cand_d, cand_idx):
+        """Alg. 4 selection over sorted candidates; pads to lm0 width."""
+        cand_idx = jnp.where(jnp.isfinite(cand_d), cand_idx, -1)
+        cand_rows = data.vectors[jnp.clip(cand_idx, 0, self.cap)]
+        pair = _pair_matrix(self.metric, cand_rows)
+        pair = jnp.where(
+            (cand_idx[:, None, :] < 0) | (cand_idx[:, :, None] < 0),
+            jnp.inf,
+            pair,
+        )
+        sd, sids = _select_neighbors_parallel(cand_d, cand_idx, pair, self.lm0)
+        pad = self.lm0 - sd.shape[1]
+        if pad > 0:  # tiny corpus: fewer candidates than lm0
+            sd = jnp.pad(sd, ((0, 0), (0, pad)), constant_values=jnp.inf)
+            sids = jnp.pad(sids, ((0, 0), (0, pad)), constant_values=-1)
+        return sd, sids
+
+    def _score_select_step(self, data: BuildData, alive, new_ids, batch_mask, count):
+        """Exact-scored top-ef_construction candidates + Alg. 4
+        selection for all layers.
 
         ``count``: elements inserted before this batch (traced scalar) —
         only rows < count that are alive (not duplicate-folded) are
-        candidates. Upper layers restrict candidates to rows with
-        level >= layer (the level_masks axis), mirroring the descent's
-        reachability rule. Selection always runs at lm0 width; the
-        first-m prefix equals the lm=m selection (the Alg. 4 keep
-        sequence is prefix-stable in lm), so upper layers just truncate.
+        candidates. Layer 0 takes candidates from the full score sweep
+        (approx_min_k above _APPROX_TOPK_MIN rows: TPU's approximate
+        top-k runs ~10x faster than exact sort-based top-k and the Alg.4
+        heuristic is insensitive to 1-2% candidate recall loss). Upper
+        layers score against the compact upper matrix (the ~N/m rows
+        with level >= 1), mirroring the descent's reachability rule.
+        Selection always runs at lm0 width; the first-m prefix equals
+        the lm=m selection (the Alg. 4 keep sequence is prefix-stable
+        in lm), so upper layers just truncate.
 
         Returns sel_d, sel_ids [B, LMAX+1, lm0] (layer 0 = ground).
         """
         B = new_ids.shape[0]
         safe_ids = jnp.clip(new_ids, 0, self.cap)
-        q_rows = self.vectors[safe_ids]  # [B, D]
-        my_level = self.levels[safe_ids]  # [B]
+        q_rows = data.vectors[safe_ids]  # [B, D]
+        my_level = data.levels[safe_ids]  # [B]
 
-        scores = self._score_all(q_rows)  # [B, cap+1]
+        # ---- layer 0: full sweep
+        scores = self._score_all(data, q_rows)  # [B, cap+1]
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, self.cap + 1), 1)
         valid = (pos < count) & alive[None, :]
         scores = jnp.where(valid & batch_mask[:, None], scores, jnp.inf)
-
-        def per_layer(lmask):
-            s_l = jnp.where(lmask[None, :], scores, jnp.inf)
-            neg_d, cand_idx = jax.lax.top_k(-s_l, self.efc)  # [B, efc]
-            cand_d = -neg_d
-            cand_idx = jnp.where(jnp.isfinite(cand_d), cand_idx, -1)
-            cand_rows = self.vectors[jnp.clip(cand_idx, 0, self.cap)]
-            pair = _pair_matrix(self.metric, cand_rows)
-            pair = jnp.where(
-                (cand_idx[:, None, :] < 0) | (cand_idx[:, :, None] < 0),
-                jnp.inf,
-                pair,
+        kk = min(self.efc, self.cap + 1)
+        if self.cap + 1 >= _APPROX_TOPK_MIN:
+            neg_d, cand_idx = jax.lax.approx_min_k(
+                scores, kk, recall_target=0.98
             )
-            return _select_neighbors_batch(cand_d, cand_idx, pair, self.lm0)
+            cand_d = neg_d
+        else:
+            neg_d, cand_idx = jax.lax.top_k(-scores, kk)
+            cand_d = -neg_d
+        sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
 
-        sel_d, sel_ids = jax.lax.map(per_layer, self.level_masks)
-        sel_d = jnp.moveaxis(sel_d, 0, 1)  # [B, LMAX+1, lm0]
-        sel_ids = jnp.moveaxis(sel_ids, 0, 1)
+        # ---- upper layers: compact sweep over level>=1 rows
+        u_scores = self._score_all(
+            data, q_rows, data.upper_vectors, data.upper_x2
+        )  # [B, U+1]
+        u_valid = (data.upper_ids[None, :] < count) & alive[
+            jnp.clip(data.upper_ids, 0, self.cap)
+        ][None, :]
+        u_scores = jnp.where(u_valid & batch_mask[:, None], u_scores, jnp.inf)
+        kku = min(self.efc, u_scores.shape[1])
+
+        def per_upper_layer(lmask):
+            s_l = jnp.where(lmask[None, :], u_scores, jnp.inf)
+            neg_d, slot_idx = jax.lax.top_k(-s_l, kku)
+            c_idx = data.upper_ids[slot_idx]
+            return self._candidates_to_selection(data, -neg_d, c_idx)
+
+        selu_d, selu_ids = jax.lax.map(per_upper_layer, data.upper_level_masks)
+
+        sel_d = jnp.concatenate([sel0_d[:, None], jnp.moveaxis(selu_d, 0, 1)], 1)
+        sel_ids = jnp.concatenate(
+            [sel0_ids[:, None], jnp.moveaxis(selu_ids, 0, 1)], 1
+        )
 
         # mask layers above the element's own level; truncate upper
         # layers to their m slots
@@ -301,7 +413,7 @@ class DeviceBuilder:
 
     # -- step 2: commit (three small programs) -------------------------------
 
-    def _fwd_commit_step(self, arrays: BuildArrays, new_ids, sel_d, sel_ids, alive):
+    def _fwd_commit_step(self, data: BuildData, arrays: BuildArrays, new_ids, sel_d, sel_ids, alive):
         """Scatter forward edges, alive flags, and entry promotion."""
         dump = self.cap
         fwd_target = jnp.where(alive, new_ids, dump)
@@ -310,7 +422,7 @@ class DeviceBuilder:
             nbr0_dist=arrays.nbr0_dist.at[fwd_target].set(sel_d[:, 0, :]),
             alive=arrays.alive.at[fwd_target].set(True).at[dump].set(False),
         )
-        slot = self.upper_slot[jnp.clip(new_ids, 0, self.cap)]
+        slot = data.upper_slot[jnp.clip(new_ids, 0, self.cap)]
         starget = jnp.where(alive & (slot >= 0), slot, self.n_upper)
         # [B, LMAX, m] block scatter of all upper layers at once
         arrays = arrays._replace(
@@ -322,7 +434,7 @@ class DeviceBuilder:
             ),
         )
         # entry promotion: first alive element reaching the batch max
-        lv = jnp.where(alive, self.levels[jnp.clip(new_ids, 0, self.cap)], -1)
+        lv = jnp.where(alive, data.levels[jnp.clip(new_ids, 0, self.cap)], -1)
         batch_max = jnp.max(lv)
         promote = batch_max > arrays.entry_level
         first = jnp.argmax(lv == batch_max)
@@ -331,7 +443,7 @@ class DeviceBuilder:
             entry_level=jnp.where(promote, batch_max, arrays.entry_level),
         )
 
-    def _resolve_backedges(self, old_ids, old_d, tgt, dst, src, lm: int, K: int):
+    def _resolve_backedges(self, data: BuildData, old_ids, old_d, tgt, dst, src, lm: int, K: int):
         """Shared back-edge machinery for one layer.
 
         tgt/dst/src [R]: requested edges target<-src at distance dst
@@ -361,17 +473,17 @@ class DeviceBuilder:
         cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
         cand_d = jnp.take_along_axis(cand_d, order, axis=1)
 
-        rows = self.vectors[jnp.clip(cand_ids, 0, self.cap)]
+        rows = data.vectors[jnp.clip(cand_ids, 0, self.cap)]
         pair = _pair_matrix(self.metric, rows)
         pair = jnp.where(
             (cand_ids[:, None, :] < 0) | (cand_ids[:, :, None] < 0),
             jnp.inf,
             pair,
         )
-        nd, nids = _select_neighbors_batch(cand_d, cand_ids, pair, lm)
+        nd, nids = _select_neighbors_parallel(cand_d, cand_ids, pair, lm)
         return head, s_tgt, nids, nd
 
-    def _backedge0_step(self, neighbors0, nbr0_dist, new_ids, sel_d, sel_ids, alive):
+    def _backedge0_step(self, data: BuildData, neighbors0, nbr0_dist, new_ids, sel_d, sel_ids, alive):
         """Ground-layer back edges (the bulk of the work)."""
         B = new_ids.shape[0]
         lm = self.lm0
@@ -388,7 +500,7 @@ class DeviceBuilder:
         old_ids = neighbors0[s_tgt0]
         old_d = nbr0_dist[s_tgt0]
         head, s_tgt, nids, nd = self._resolve_backedges(
-            old_ids, old_d, tgt, dst, src, lm, K=min(lm, 16)
+            data, old_ids, old_d, tgt, dst, src, lm, K=min(lm, 16)
         )
         scatter_tgt = jnp.where(head, s_tgt, dump)
         return (
@@ -396,45 +508,63 @@ class DeviceBuilder:
             nbr0_dist.at[scatter_tgt].set(nd),
         )
 
-    def _backedge_upper_step(self, upper_nbrs, upper_dist, new_ids, sel_d,
-                             sel_ids, alive):
-        """Upper-layer back edges, vmapped over the layer axis."""
-        B = new_ids.shape[0]
+    def _backedge_upper_compact(self, data: BuildData, upper_nbrs, upper_dist,
+                                u_tgt, u_dst, u_src, u_layer):
+        """Upper-layer back edges over a host-compacted request list.
+
+        Only ~B/m batch elements have level >= 1, so instead of
+        processing a dense [B, LMAX, m] request grid on device (16x
+        wasted work), run_batch extracts the valid requests on the host
+        (the selection arrays are already transferred for duplicate
+        folding) and pads them to a small fixed budget. Requests are
+        grouped by (layer, target) with a 3-key sort; pads use
+        tgt=cap / layer=LMAX+7 so they group last and scatter to the
+        dump row.
+        """
+        RU = u_tgt.shape[0]
         lm = self.m
+        K = min(lm, 16)
         dump_slot = self.n_upper
-
-        def one_layer(u_nbrs, u_dist, tgt, dst):
-            # u_nbrs/u_dist [U+1, m]; tgt/dst [B, m]
-            tgt = tgt.reshape(-1)
-            dst = dst.reshape(-1)
-            src = jnp.broadcast_to(new_ids[:, None], (B, lm)).reshape(-1)
-            valid = (tgt >= 0) & jnp.broadcast_to(
-                alive[:, None], (B, lm)
-            ).reshape(-1)
-            tgt = jnp.where(valid, tgt, self.cap)
-            dst = jnp.where(valid, dst, jnp.inf)
-            s_tgt0 = jax.lax.sort([tgt, dst, src], num_keys=2)[0]
-            slot0 = self.upper_slot[jnp.clip(s_tgt0, 0, self.cap)]
-            slot0 = jnp.where(slot0 >= 0, slot0, dump_slot)
-            old_ids = u_nbrs[slot0]
-            old_d = u_dist[slot0]
-            head, s_tgt, nids, nd = self._resolve_backedges(
-                old_ids, old_d, tgt, dst, src, lm, K=min(lm, 16)
-            )
-            slot = self.upper_slot[jnp.clip(s_tgt, 0, self.cap)]
-            sslot = jnp.where(head & (slot >= 0), slot, dump_slot)
-            return u_nbrs.at[sslot].set(nids), u_dist.at[sslot].set(nd)
-
-        # layer axis: upper arrays axis 1; sel arrays axis 1 offset by 1
-        new_nbrs, new_dist = jax.vmap(
-            one_layer, in_axes=(1, 1, 1, 1), out_axes=(1, 1)
-        )(
-            upper_nbrs,
-            upper_dist,
-            sel_ids[:, 1:, : self.m],
-            sel_d[:, 1:, : self.m],
+        s_layer, s_tgt, s_d, s_src = jax.lax.sort(
+            [u_layer, u_tgt, u_dst, u_src], num_keys=3
         )
-        return new_nbrs, new_dist
+        valid = s_tgt < self.cap
+        iota = jax.lax.broadcasted_iota(jnp.int32, (RU, 1), 0)[:, 0]
+        same_prev = (s_tgt[1:] == s_tgt[:-1]) & (s_layer[1:] == s_layer[:-1])
+        head = jnp.concatenate([jnp.array([True]), ~same_prev]) & valid
+
+        win = jnp.minimum(iota[:, None] + jnp.arange(K)[None, :], RU - 1)
+        same = (s_tgt[win] == s_tgt[:, None]) & (s_layer[win] == s_layer[:, None])
+        add_ids = jnp.where(same, s_src[win], -1)
+        add_d = jnp.where(same, s_d[win], jnp.inf)
+
+        slot = data.upper_slot[jnp.clip(s_tgt, 0, self.cap)]
+        slot_c = jnp.clip(slot, 0, dump_slot)
+        lidx = jnp.clip(s_layer - 1, 0, self.lmax - 1)
+        old_ids = upper_nbrs[slot_c, lidx]
+        old_d = upper_dist[slot_c, lidx]
+
+        cand_ids = jnp.concatenate([old_ids, add_ids], axis=1)  # [RU, lm+K]
+        cand_d = jnp.concatenate([old_d, add_d], axis=1)
+        cand_d = jnp.where(cand_ids < 0, jnp.inf, cand_d)
+        order = jnp.argsort(cand_d, axis=1)
+        cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+        cand_d = jnp.take_along_axis(cand_d, order, axis=1)
+        rows = data.vectors[jnp.clip(cand_ids, 0, self.cap)]
+        pair = _pair_matrix(self.metric, rows)
+        pair = jnp.where(
+            (cand_ids[:, None, :] < 0) | (cand_ids[:, :, None] < 0),
+            jnp.inf,
+            pair,
+        )
+        nd, nids = _select_neighbors_parallel(cand_d, cand_ids, pair, lm)
+
+        sslot = jnp.where(head & (slot >= 0), slot_c, dump_slot)
+        slidx = jnp.where(head, lidx, 0)
+        return (
+            upper_nbrs.at[sslot, slidx].set(nids),
+            upper_dist.at[sslot, slidx].set(nd),
+        )
 
     # -- public driver -------------------------------------------------------
 
@@ -459,6 +589,7 @@ class DeviceBuilder:
         debug = os.environ.get("PGV_BUILD_DEBUG")
         t0 = time.time()
         sel_d, sel_ids = self._search_jit(
+            self.data,
             self.arrays.alive,
             jnp.asarray(padded),
             jnp.asarray(mask),
@@ -502,20 +633,56 @@ class DeviceBuilder:
         t0 = time.time()
         jalive = jnp.asarray(alive)
         jids = jnp.asarray(padded)
-        a = self._fwd_jit(self.arrays, jids, sel_d, sel_ids, jalive)
+        a = self._fwd_jit(self.data, self.arrays, jids, sel_d, sel_ids, jalive)
+        if debug:
+            jax.block_until_ready(a)
+            t1 = time.time()
         nb0, nb0d = self._be0_jit(
-            a.neighbors0, a.nbr0_dist, jids, sel_d, sel_ids, jalive
+            self.data, a.neighbors0, a.nbr0_dist, jids, sel_d, sel_ids, jalive
         )
-        up, upd = self._beu_jit(
-            a.upper_nbrs, a.upper_dist, jids, sel_d, sel_ids, jalive
-        )
+        if debug:
+            jax.block_until_ready((nb0, nb0d))
+            t2 = time.time()
+
+        # host-compacted upper back-edge requests (see
+        # _backedge_upper_compact): selection arrays are already on the
+        # host for duplicate folding, so extraction costs nothing extra
+        lay_ids = sel_ids_np[:, 1:, : self.m]
+        lay_d = sel_d_np[:, 1:, : self.m]
+        bsel, lsel, ssel = np.nonzero((lay_ids >= 0) & alive[:, None, None])
+        n_req = len(bsel)
+        RU = 2048
+        up, upd = a.upper_nbrs, a.upper_dist
+        for start in range(0, max(n_req, 1), RU):
+            sl = slice(start, start + RU)
+            cnt = len(bsel[sl])
+            u_tgt = np.full(RU, self.cap, dtype=np.int32)
+            u_dst = np.full(RU, np.inf, dtype=np.float32)
+            u_src = np.full(RU, -1, dtype=np.int32)
+            u_layer = np.full(RU, self.lmax + 7, dtype=np.int32)
+            if cnt:
+                u_tgt[:cnt] = lay_ids[bsel[sl], lsel[sl], ssel[sl]]
+                u_dst[:cnt] = lay_d[bsel[sl], lsel[sl], ssel[sl]]
+                u_src[:cnt] = padded[bsel[sl]]
+                u_layer[:cnt] = lsel[sl] + 1
+            up, upd = self._beu_jit(
+                self.data,
+                up,
+                upd,
+                jnp.asarray(u_tgt),
+                jnp.asarray(u_dst),
+                jnp.asarray(u_src),
+                jnp.asarray(u_layer),
+            )
         self.arrays = a._replace(
             neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
         )
         if debug:
             jax.block_until_ready(self.arrays)
+            t3 = time.time()
             print(
-                f"[build] batch@{ids[0]} commit {time.time()-t0:.3f}s",
+                f"[build] batch@{ids[0]} commit {t3-t0:.3f}s "
+                f"(fwd {t1-t0:.3f} be0 {t2-t1:.3f} beu {t3-t2:.3f})",
                 file=sys.stderr,
                 flush=True,
             )
