@@ -413,9 +413,9 @@ jax.tree_util.register_pytree_node(
 EXACT_ENGINE_MAX_ROWS = 4_000_000
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _exact_search_batch(g: DeviceGraph, queries, k: int):
-    """Exact top-k over the index's live dense rows.
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
+    """Exact (or turbo-approximate) top-k over the index's live rows.
 
     TPU-first serving path: below ~10M rows/chip a single
     [B, D] x [D, N] MXU matmul + top-k is faster than any graph
@@ -426,16 +426,25 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int):
     fits. Masks vacuum-deleted elements and zero-TID slots like
     search_layer_disk's deleted/type checks (scan.rs:155-228).
 
+    ``approx=True`` (the "turbo" engine) scores in bfloat16 with f32
+    accumulation and selects via lax.approx_min_k — the TPU-KNN
+    recipe. Recall stays ~0.99 (measured per-workload by bench.py) at
+    several-fold higher throughput.
+
     Returns (dists [B, k], element ids [B, k]) sorted nearest-first.
     """
+    vals = g.values.astype(jnp.bfloat16) if approx else g.values
+    q = queries.astype(jnp.bfloat16) if approx else queries
     dots = jax.lax.dot_general(
-        queries,
-        g.values,
+        q,
+        vals,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [B, cap+1]
     if g.metric == "l2":
-        x2 = jnp.sum(g.values * g.values, axis=1)
+        x2 = jnp.sum(
+            g.values.astype(jnp.float32) * g.values.astype(jnp.float32), axis=1
+        )
         q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
         scores = jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
     elif g.metric == "ip":
@@ -459,8 +468,11 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int):
         ]
     live = g.traversable & (g.tid_count > 0)
     scores = jnp.where(live[None, :], scores, jnp.inf)
-    neg_d, ids = jax.lax.top_k(-scores, k)
-    d = -neg_d
+    if approx:
+        d, ids = jax.lax.approx_min_k(scores, k, recall_target=0.98)
+    else:
+        neg_d, ids = jax.lax.top_k(-scores, k)
+        d = -neg_d
     return d, jnp.where(jnp.isfinite(d), ids, -1)
 
 
@@ -541,8 +553,10 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
         beam_d, beam_ids, _ = jax.vmap(
             lambda qi, qv: _search_one_sparse(g, (qi, qv), ef, max_steps)
         )(qtuple[0], qtuple[1])
-    elif engine == "exact" and index.kind == "dense":
-        beam_d, beam_ids = _exact_search_batch(g, queries, max(k, 1))
+    elif engine in ("exact", "approx") and index.kind == "dense":
+        beam_d, beam_ids = _exact_search_batch(
+            g, queries, max(k, 1), approx=engine == "approx"
+        )
     else:
         beam_d, beam_ids, _ = _search_batch(
             g, queries, ef, g.entry_level, max_steps
@@ -552,6 +566,18 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
 
     tid_count = np.asarray(g.tid_count)
     emit_tid = np.asarray(g.emit_tid)
+
+    # fast path: no duplicates / vacuumed slots among the candidates —
+    # one vectorized emit_tid gather (the common serving case)
+    W = beam_ids.shape[1]
+    safe = np.maximum(beam_ids, 0)
+    cnts = np.where(beam_ids >= 0, tid_count[safe], 1)
+    if W >= k and (cnts[:, :k] == 1).all() and (beam_ids[:, :k] >= 0).all():
+        out_d = beam_d[:, :k].copy()
+        out_ids = emit_tid[safe[:, :k]].astype(np.int64)
+        out_d[~np.isfinite(out_d)] = np.inf
+        out_ids[~np.isfinite(beam_d[:, :k])] = -1
+        return out_d, out_ids
 
     out_d = np.full((B, k), np.inf, dtype=np.float64)
     out_ids = np.full((B, k), -1, dtype=np.int64)
@@ -708,9 +734,9 @@ def beam_search_arrays(
     return jax.vmap(one)(queries)
 
 
-def bulk_build(index, data, ids):
+def bulk_build(index, data, ids, host_graph: bool = True):
     """Batched device bulk build (device_build.py: exact MXU-scored
     frozen-snapshot batch insertion)."""
     from . import device_build
 
-    device_build.bulk_build(index, data, ids)
+    device_build.bulk_build(index, data, ids, host_graph=host_graph)

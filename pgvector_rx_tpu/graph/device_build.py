@@ -69,6 +69,8 @@ class BuildData(NamedTuple):
     persistent compilation cache across builds)."""
 
     vectors: jax.Array  # [cap+1, D] f32
+    vectors_bf16: jax.Array  # [cap+1, D] bf16 (pair/pruning math: half the
+    # gather bytes and full-rate MXU; kept distances stay f32-exact)
     x2: jax.Array  # [cap+1] f32, ||x||^2 per row
     levels: jax.Array  # [cap+1] int32
     upper_slot: jax.Array  # [cap+1] int32
@@ -94,15 +96,26 @@ def _pair_matrix(metric: str, rows):
     difference tensor (which is memory-bound and HBM-hungry).
     """
     if metric == "l2":
-        dots = jnp.einsum("...id,...jd->...ij", rows, rows)
-        sq = jnp.sum(rows * rows, axis=-1)
+        dots = jnp.einsum(
+            "...id,...jd->...ij", rows, rows,
+            preferred_element_type=jnp.float32,
+        )
+        sq = jnp.sum(
+            rows.astype(jnp.float32) * rows.astype(jnp.float32), axis=-1
+        )
         return jnp.maximum(
             sq[..., :, None] + sq[..., None, :] - 2.0 * dots, 0.0
         )
     if metric == "ip":
-        return -jnp.einsum("...id,...jd->...ij", rows, rows)
+        return -jnp.einsum(
+            "...id,...jd->...ij", rows, rows,
+            preferred_element_type=jnp.float32,
+        )
     if metric == "cosine":
-        sims = jnp.einsum("...id,...jd->...ij", rows, rows)
+        sims = jnp.einsum(
+            "...id,...jd->...ij", rows, rows,
+            preferred_element_type=jnp.float32,
+        )
         return 1.0 - jnp.clip(sims, -1.0, 1.0)
     if metric == "l1":
         return jnp.sum(
@@ -262,6 +275,7 @@ class DeviceBuilder:
         up_vecs_j = jnp.asarray(up_vecs)
         self.data = BuildData(
             vectors=self.vectors,
+            vectors_bf16=self.vectors.astype(jnp.bfloat16),
             x2=jnp.sum(self.vectors * self.vectors, axis=1),
             levels=self.levels,
             upper_slot=self.upper_slot,
@@ -320,7 +334,8 @@ class DeviceBuilder:
     def _candidates_to_selection(self, data, cand_d, cand_idx):
         """Alg. 4 selection over sorted candidates; pads to lm0 width."""
         cand_idx = jnp.where(jnp.isfinite(cand_d), cand_idx, -1)
-        cand_rows = data.vectors[jnp.clip(cand_idx, 0, self.cap)]
+        rows16 = data.vectors_bf16 if self.metric != "l1" else data.vectors
+        cand_rows = rows16[jnp.clip(cand_idx, 0, self.cap)]
         pair = _pair_matrix(self.metric, cand_rows)
         pair = jnp.where(
             (cand_idx[:, None, :] < 0) | (cand_idx[:, :, None] < 0),
@@ -473,7 +488,8 @@ class DeviceBuilder:
         cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
         cand_d = jnp.take_along_axis(cand_d, order, axis=1)
 
-        rows = data.vectors[jnp.clip(cand_ids, 0, self.cap)]
+        rows16 = data.vectors_bf16 if self.metric != "l1" else data.vectors
+        rows = rows16[jnp.clip(cand_ids, 0, self.cap)]
         pair = _pair_matrix(self.metric, rows)
         pair = jnp.where(
             (cand_ids[:, None, :] < 0) | (cand_ids[:, :, None] < 0),
@@ -550,7 +566,8 @@ class DeviceBuilder:
         order = jnp.argsort(cand_d, axis=1)
         cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
         cand_d = jnp.take_along_axis(cand_d, order, axis=1)
-        rows = data.vectors[jnp.clip(cand_ids, 0, self.cap)]
+        rows16 = data.vectors_bf16 if self.metric != "l1" else data.vectors
+        rows = rows16[jnp.clip(cand_ids, 0, self.cap)]
         pair = _pair_matrix(self.metric, rows)
         pair = jnp.where(
             (cand_ids[:, None, :] < 0) | (cand_ids[:, :, None] < 0),
@@ -702,28 +719,61 @@ def batch_schedule(n: int, batch_max: int):
     return out
 
 
-def bulk_build(index, data, ids) -> None:
+def _prepare_dense_bulk(index, data, ids):
+    """Vectorized dense prepare: shape check once, vectorized cosine
+    normalize + zero-norm row skip (build.rs:426-438 semantics) —
+    replaces the per-row Python prepare loop, which dominates at
+    millions of rows."""
+    arr = np.asarray(data, dtype=np.float32)
+    if arr.ndim != 2 or arr.shape[1] != index.dim:
+        raise ValueError(f"expected {index.dim} dimensions")
+    tids = np.asarray(list(ids), dtype=np.int64)
+    if index.metric == "cosine":
+        norms = np.sqrt(
+            np.sum(arr.astype(np.float64) ** 2, axis=1, keepdims=True)
+        )
+        keep = norms[:, 0] > 0.0
+        arr = (arr[keep].astype(np.float64) / norms[keep]).astype(np.float32)
+        tids = tids[keep]
+    if not np.isfinite(arr).all():
+        raise ValueError("NaN or infinity not allowed in vector")
+    return arr, [int(t) for t in tids]
+
+
+def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     """Entry point called by HnswIndex.build(method='device').
 
     Prepares values (cosine normalize / zero-skip), assigns levels with
     the index RNG, runs the batched build, then populates the host index
     structures from the final device arrays.
+
+    ``host_graph=False`` (serving-only mode) skips materializing the
+    per-element Python graph objects — the index keeps the device
+    arrays plus the value store and serves search() directly; host
+    mutation paths (insert/delete/vacuum) are unavailable until a
+    rebuild. Intended for large serving corpora and benchmarks where
+    per-row Python materialization would dominate build time.
     """
     from ..graph.host import GraphElement
 
-    n_in = len(data)
-    prepared = []
-    kept_tids = []
-    for value, tid in zip(data, ids):
-        p = index.prepare_value(value)
-        if p is None:
-            continue
-        prepared.append(p)
-        kept_tids.append(int(tid))
-    n = len(prepared)
-    if n == 0:
-        return
-    vectors = np.stack(prepared).astype(np.float32)
+    if index.kind == "dense" and isinstance(data, np.ndarray):
+        vectors, kept_tids = _prepare_dense_bulk(index, data, ids)
+        n = len(vectors)
+        if n == 0:
+            return
+    else:
+        prepared = []
+        kept_tids = []
+        for value, tid in zip(data, ids):
+            p = index.prepare_value(value)
+            if p is None:
+                continue
+            prepared.append(p)
+            kept_tids.append(int(tid))
+        n = len(prepared)
+        if n == 0:
+            return
+        vectors = np.stack(prepared).astype(np.float32)
     levels = np.array([index.random_level() for _ in range(n)], dtype=np.int32)
 
     builder = DeviceBuilder(
@@ -732,7 +782,16 @@ def bulk_build(index, data, ids) -> None:
         levels,
         index.params.m,
         index.params.ef_construction,
-        batch_max=min(1024, max(64, n // 8 or 1)),
+        # the [B, cap+1] f32 score matrix is the peak transient; keep it
+        # under ~4GB of HBM (1024 at 1M rows, 4096 up to 256k rows)
+        batch_max=int(
+            os.environ.get("PGV_BUILD_BATCH", 0)
+        )
+        or min(
+            4096,
+            max(64, n // 16 or 1),
+            max(256, (4 << 30) // (4 * (n + 1))),
+        ),
     )
 
     heap_tids = [[t] for t in kept_tids]
@@ -742,6 +801,21 @@ def bulk_build(index, data, ids) -> None:
             np.arange(start, start + size, dtype=np.int32), None, heap_tids
         )
 
+    base = len(index.elements)
+    assert base == 0, "device bulk build requires an empty index"
+    store_dtype = index.dtype or np.float32
+
+    if not host_graph:
+        # serving-only: bulk-load the store, keep TIDs, and hand the
+        # index a DeviceGraph built straight from the builder arrays
+        index.store.bulk_load(vectors.astype(store_dtype))
+        index.heap_tids = heap_tids
+        entry = int(np.asarray(builder.arrays.entry))
+        index.entry = entry if entry >= 0 else None
+        index.serving_only = True
+        index._device = _device_graph_from_builder(index, builder, heap_tids)
+        return
+
     # ---- populate the host index from the device arrays
     neighbors0 = np.asarray(builder.arrays.neighbors0)[: n]
     nbr0_dist = np.asarray(builder.arrays.nbr0_dist)[: n]
@@ -749,9 +823,6 @@ def bulk_build(index, data, ids) -> None:
     upper_dist = np.asarray(builder.arrays.upper_dist)
     upper_slot = np.asarray(builder.upper_slot)[: n]
 
-    base = len(index.elements)
-    assert base == 0, "device bulk build requires an empty index"
-    store_dtype = index.dtype or np.float32
     for i in range(n):
         e = GraphElement(level=int(levels[i]))
         nb0 = [
@@ -775,3 +846,33 @@ def bulk_build(index, data, ids) -> None:
     entry = int(np.asarray(builder.arrays.entry))
     index.entry = entry if entry >= 0 else None
     index._invalidate_device()
+
+
+def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids):
+    """Build a DeviceGraph directly from the builder's device arrays
+    (no per-element host objects; see bulk_build(host_graph=False))."""
+    from .device import DeviceGraph
+
+    n = builder.cap
+    emit_tid = np.full(n + 1, -1, dtype=np.int32)
+    tid_count = np.zeros(n + 1, dtype=np.int32)
+    for i, tids in enumerate(heap_tids):
+        tid_count[i] = len(tids)
+        if tids:
+            emit_tid[i] = tids[0]
+    return DeviceGraph(
+        kind=index.kind,
+        metric=index.metric,
+        cap=n,
+        m=index.params.m,
+        entry=int(np.asarray(builder.arrays.entry)),
+        entry_level=int(np.asarray(builder.arrays.entry_level)),
+        neighbors0=builder.arrays.neighbors0,
+        upper_neighbors=builder.arrays.upper_nbrs,
+        upper_slot=builder.upper_slot,
+        levels=builder.levels,
+        traversable=builder.arrays.alive,
+        emit_tid=jnp.asarray(emit_tid),
+        tid_count=jnp.asarray(tid_count),
+        values=builder.vectors,
+    )

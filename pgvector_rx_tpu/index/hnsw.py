@@ -100,6 +100,7 @@ class HnswIndex:
         self.entry: Optional[int] = None
         self.free_slots: list[int] = []
         self.seed = seed
+        self.serving_only = False  # set by light device builds
         self._rng = np.random.default_rng(seed)
         self._device = None  # device graph cache (graph/device.py)
         self._log = None  # append log (storage.py attaches)
@@ -297,6 +298,11 @@ class HnswIndex:
         """
         if tid is None:
             tid = self.num_tuples
+        if self.serving_only:
+            raise RuntimeError(
+                "serving-only index (built with host_graph=False) does not "
+                "support insert; rebuild with host_graph=True"
+            )
         prepared = self.prepare_value(value)
         if prepared is None:
             return None
@@ -333,6 +339,7 @@ class HnswIndex:
         dtype=np.float32,
         seed: int = 0,
         method: str = "auto",
+        host_graph: bool = True,
     ) -> "HnswIndex":
         """Build an index from data (ambuild analog).
 
@@ -340,6 +347,9 @@ class HnswIndex:
         hamming/jaccard, or a sequence of SparseVec / (indices, values).
         ``method``: "host" (sequential reference path), "device"
         (batched TPU bulk build), or "auto".
+        ``host_graph=False`` (device method only): serving-only index —
+        skips per-element host graph materialization; insert/delete/
+        vacuum raise until a rebuild (for large serving corpora).
         """
         kind = (
             "bit"
@@ -370,7 +380,7 @@ class HnswIndex:
         if method == "device":
             from ..graph import device as device_mod
 
-            device_mod.bulk_build(idx, data, list(ids))
+            device_mod.bulk_build(idx, data, list(ids), host_graph=host_graph)
         elif method == "native":
             from .. import native
 
@@ -404,6 +414,11 @@ class HnswIndex:
     # -- delete / vacuum (delegates to vacuum.py) ----------------------------
 
     def delete(self, tids) -> int:
+        if self.serving_only:
+            raise RuntimeError(
+                "serving-only index (built with host_graph=False) does not "
+                "support delete; rebuild with host_graph=True"
+            )
         from . import vacuum
 
         return vacuum.delete_tids(self, tids)

@@ -217,8 +217,13 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
     single = _is_single_query(index, queries)
     qlist = [queries] if single else list(queries)
 
-    engine = {"device": "beam", "exact": "exact", "auto": "auto"}.get(method)
-    use_device = method in ("device", "exact") or (
+    engine = {
+        "device": "beam",
+        "exact": "exact",
+        "approx": "approx",
+        "auto": "auto",
+    }.get(method)
+    use_device = method in ("device", "exact", "approx") or (
         method == "auto" and index.kind == "dense" and len(qlist) >= 32
     )
     if use_device:

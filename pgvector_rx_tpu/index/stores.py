@@ -50,6 +50,12 @@ class DenseStore:
     def overwrite(self, idx: int, value) -> None:
         self.rows[idx] = value
 
+    def bulk_load(self, rows: np.ndarray) -> None:
+        """Adopt a whole [N, dim] matrix at once (empty store only)."""
+        assert self.count == 0
+        self.rows = np.ascontiguousarray(rows, dtype=self.dtype)
+        self.count = len(rows)
+
     def zero(self, idx: int) -> None:
         self.rows[idx] = 0
 

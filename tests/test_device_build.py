@@ -70,3 +70,41 @@ class TestDeviceBuild:
         data = rng.random((400, 6)).astype(np.float32)
         idx = HnswIndex.build(data, metric="l2", method="device", seed=59)
         assert idx.elements[idx.entry].level == max(e.level for e in idx.elements)
+
+
+class TestServingOnlyBuild:
+    def test_host_graph_false_serves_and_guards(self):
+        import numpy as np
+        import pytest
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(11)
+        data = rng.standard_normal((400, 24)).astype(np.float32)
+        idx = HnswIndex.build(
+            data, metric="l2", method="device", seed=0, host_graph=False
+        )
+        assert idx.serving_only
+        q = data[:50]
+        d, ids = idx.search(q, 5, SearchParams(), method="exact")
+        assert (ids[:, 0] == np.arange(50)).mean() > 0.99
+        d2, ids2 = idx.search(q, 5, SearchParams(ef_search=40), method="device")
+        assert (ids2[:, 0] == np.arange(50)).mean() > 0.9
+        with pytest.raises(RuntimeError):
+            idx.insert(data[0], 1000)
+        with pytest.raises(RuntimeError):
+            idx.delete([3])
+
+    def test_cosine_bulk_prepare_skips_zero_rows(self):
+        import numpy as np
+
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(12)
+        data = rng.standard_normal((100, 8)).astype(np.float32)
+        data[7] = 0.0  # zero-norm row must be skipped (build.rs:426-438)
+        idx = HnswIndex.build(data, metric="cosine", method="device", seed=0)
+        assert idx.num_tuples == 99
+        tids = {t for tl in idx.heap_tids for t in tl}
+        assert 7 not in tids
