@@ -496,6 +496,12 @@ def prepare_query_matrix(index, q: np.ndarray):
 
 def prepare_queries(index, qlist):
     """Canonicalize queries to stacked device inputs."""
+    if index.kind == "dense":
+        # vectorized: per-row prepare_value costs more than the search
+        # itself at serving batch sizes
+        arr = np.asarray(qlist, dtype=np.float32)
+        if arr.ndim == 2 and arr.shape[1] == index.dim:
+            return prepare_query_matrix(index, arr)
     prepped = [index.prepare_value(q) for q in qlist]
     if index.kind == "dense":
         rows = [

@@ -190,11 +190,22 @@ def _select_neighbors_parallel(cand_d, cand_ids, pair, lm: int):
     B, C = cand_d.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)  # j index (rows)
     earlier = pos < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    # min over earlier candidates j of pair[j, i]
-    masked = jnp.where(earlier[None], pair, jnp.inf)  # pair[b, j, i]
-    min_earlier = jnp.min(masked, axis=1)  # [B, C]
+    pair_e = jnp.where(earlier[None], pair, jnp.inf)  # pair[b, j, i], j<i
     valid = jnp.isfinite(cand_d)
-    keep = (min_earlier > cand_d) & valid
+
+    # Fixpoint iteration of the sequential keep chain: start from the
+    # all-kept overestimate; each round recomputes every candidate's
+    # decision against the current keep set. Rounds alternate between
+    # over- and under-estimates and converge to the sequential greedy's
+    # unique fixpoint; log2(C)+2 rounds recover it in practice (recall
+    # parity vs the fori_loop version is test-enforced), at a handful
+    # of fully-parallel [B, C, C] reductions instead of a C-step chain.
+    keep = valid
+    for _ in range(max(2, int(math.ceil(math.log2(max(C, 2)))) + 2)):
+        min_kept = jnp.min(
+            jnp.where(keep[:, :, None], pair_e, jnp.inf), axis=1
+        )  # [B, C]
+        keep = (min_kept > cand_d) & valid
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)
     keep = keep & (rank <= lm)
 
