@@ -476,6 +476,63 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
     return d, jnp.where(jnp.isfinite(d), ids, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _exact_search_bits(g: DeviceGraph, queries, k: int):
+    """Exact top-k over packed-bit rows (hamming / jaccard).
+
+    Chunked VPU popcount sweep — XOR/AND + population_count over
+    [B, CH, W] word tiles, masked by live slots, then one top-k.
+    """
+    B = queries.shape[0]
+    cap1 = g.words.shape[0]
+    CH = 8192
+    pad = (-cap1) % CH
+    words = jnp.pad(g.words, ((0, pad), (0, 0)))
+    q_pop = jnp.sum(jax.lax.population_count(queries), axis=-1).astype(
+        jnp.float32
+    )  # [B]
+
+    def chunk(w_chunk):  # [CH, W]
+        x = jnp.bitwise_xor(queries[:, None, :], w_chunk[None, :, :])
+        xpop = jnp.sum(jax.lax.population_count(x), axis=-1).astype(
+            jnp.float32
+        )  # [B, CH]
+        if g.metric == "hamming":
+            return xpop
+        a = jnp.bitwise_and(queries[:, None, :], w_chunk[None, :, :])
+        ab = jnp.sum(jax.lax.population_count(a), axis=-1).astype(jnp.float32)
+        bb = jnp.sum(
+            jax.lax.population_count(w_chunk), axis=-1
+        ).astype(jnp.float32)
+        union = q_pop[:, None] + bb[None, :] - ab
+        return jnp.where(
+            ab == 0.0, 1.0, 1.0 - ab / jnp.where(union > 0, union, 1.0)
+        )
+
+    parts = jax.lax.map(chunk, words.reshape(-1, CH, words.shape[1]))
+    scores = jnp.moveaxis(parts, 0, 1).reshape(B, -1)[:, :cap1]
+    live = g.traversable & (g.tid_count > 0)
+    scores = jnp.where(live[None, :], scores, jnp.inf)
+    neg_d, ids = jax.lax.top_k(-scores, k)
+    d = -neg_d
+    return d, jnp.where(jnp.isfinite(d), ids, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int):
+    """Exact top-k over padded-CSR sparse rows (merge-join distances)."""
+    from ..ops import sparse as sparse_ops
+
+    scores = sparse_ops.pairwise(
+        g.metric, g.sp_indices, g.sp_values, q_indices, q_values
+    )  # [B, cap+1]
+    live = g.traversable & (g.tid_count > 0)
+    scores = jnp.where(live[None, :], scores, jnp.inf)
+    neg_d, ids = jax.lax.top_k(-scores, k)
+    d = -neg_d
+    return d, jnp.where(jnp.isfinite(d), ids, -1)
+
+
 # ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
@@ -535,8 +592,10 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
     """Batched device k-NN -> (order-dists [B,k] f64, heap ids [B,k]).
 
     engine: "beam" walks the HNSW graph (batched beam search), "exact"
-    runs the MXU exact sweep (dense only), "auto" picks exact for dense
-    corpora up to EXACT_ENGINE_MAX_ROWS and beam otherwise.
+    runs the exact sweep (MXU matmul for dense, popcount for bit,
+    padded-CSR for sparse), "approx" the bf16 + approx_min_k turbo
+    sweep (dense), "auto" picks exact up to EXACT_ENGINE_MAX_ROWS and
+    beam otherwise.
     """
     g = index.device_graph()
     B = len(qlist)
@@ -549,20 +608,26 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
     ef = max(params.ef_search, 1)
     max_steps = 4 * ef + 32
     if engine == "auto":
-        engine = (
-            "exact"
-            if index.kind == "dense" and g.cap <= EXACT_ENGINE_MAX_ROWS
-            else "beam"
-        )
-    if index.kind == "sparse":
+        # sparse merge-join sweeps cost O(N*P*logP) VPU work per query
+        # batch, so the exact cutover is much lower than the MXU kinds
+        limit = 200_000 if index.kind == "sparse" else EXACT_ENGINE_MAX_ROWS
+        engine = "exact" if g.cap <= limit else "beam"
+    if engine in ("exact", "approx"):
+        if index.kind == "dense":
+            beam_d, beam_ids = _exact_search_batch(
+                g, queries, max(k, 1), approx=engine == "approx"
+            )
+        elif index.kind == "bit":
+            beam_d, beam_ids = _exact_search_bits(g, queries, max(k, 1))
+        else:
+            beam_d, beam_ids = _exact_search_sparse(
+                g, queries[0], queries[1], max(k, 1)
+            )
+    elif index.kind == "sparse":
         qtuple = queries
         beam_d, beam_ids, _ = jax.vmap(
             lambda qi, qv: _search_one_sparse(g, (qi, qv), ef, max_steps)
         )(qtuple[0], qtuple[1])
-    elif engine in ("exact", "approx") and index.kind == "dense":
-        beam_d, beam_ids = _exact_search_batch(
-            g, queries, max(k, 1), approx=engine == "approx"
-        )
     else:
         beam_d, beam_ids, _ = _search_batch(
             g, queries, ef, g.entry_level, max_steps

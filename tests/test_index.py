@@ -428,3 +428,27 @@ class TestExactEngine:
         index.vacuum()
         d1, i1 = index.search(np.atleast_2d(data[7]), 3, method="exact")
         assert 7 not in set(i1[0].tolist())
+
+    def test_exact_engine_bit_and_sparse(self):
+        import numpy as np
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(5)
+        # bit
+        bits = rng.integers(0, 2, size=(200, 64)).astype(np.uint8)
+        idx = HnswIndex.build(bits, metric="hamming", method="host", seed=0)
+        d, ids = idx.search(bits[:20], 3, SearchParams(), method="exact")
+        assert (ids[:, 0] == np.arange(20)).all()
+        assert (d[:, 0] == 0).all()
+        # sparse
+        data = []
+        for _ in range(150):
+            nz = rng.integers(1, 6)
+            ii = np.sort(rng.choice(50, size=nz, replace=False)).astype(np.int32)
+            vv = rng.standard_normal(nz).astype(np.float32)
+            data.append((ii, vv))
+        sidx = HnswIndex.build(data, metric="l2", method="host", seed=0)
+        d2, ids2 = sidx.search(data[7], 1, SearchParams(), method="exact")
+        assert ids2[0] == 7
