@@ -29,6 +29,7 @@ Everything is jit-compiled; per-query control flow uses lax.while_loop
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -607,6 +608,10 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
     queries = prepare_queries(index, qlist)
     ef = max(params.ef_search, 1)
     max_steps = 4 * ef + 32
+    # E-way expansion: E best unexpanded candidates per step. The loop
+    # (not the expansion work) is the latency bound on TPU, and the
+    # step budget scales with E, which larger corpora need.
+    expand = int(os.environ.get("PGV_BEAM_EXPAND", 4))
     if engine == "auto":
         # sparse merge-join sweeps cost O(N*P*logP) VPU work per query
         # batch, so the exact cutover is much lower than the MXU kinds
@@ -630,7 +635,7 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
         )(qtuple[0], qtuple[1])
     else:
         beam_d, beam_ids, _ = _search_batch(
-            g, queries, ef, g.entry_level, max_steps
+            g, queries, ef, g.entry_level, max_steps, expand
         )
     beam_d = np.asarray(beam_d, dtype=np.float64)
     beam_ids = np.asarray(beam_ids)
