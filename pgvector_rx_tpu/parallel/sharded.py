@@ -157,8 +157,20 @@ class ShardedHnswIndex:
 
     # -- search --------------------------------------------------------------
 
-    def search(self, queries, k: int, params: SearchParams | None = None):
-        """SPMD search: local beams per shard, all-gather + merge.
+    def search(
+        self,
+        queries,
+        k: int,
+        params: SearchParams | None = None,
+        engine: str = "auto",
+    ):
+        """SPMD search: per-shard local search, all-gather + merge.
+
+        engine="exact" sweeps each shard's rows with one MXU matmul +
+        top-k (recall 1.0); "beam" walks each shard's HNSW sub-graph;
+        "auto" picks exact while every shard fits the single-chip exact
+        cutover. Either way cross-shard traffic is ONE all_gather of
+        per-shard top-k over ICI.
 
         Returns (operator-distances [B, k] f64, heap ids [B, k]).
         """
@@ -171,10 +183,16 @@ class ShardedHnswIndex:
             q = np.asarray(normalize_rows(jnp.asarray(q)))
 
         st = self._stack()
+        if engine == "auto":
+            engine = (
+                "exact"
+                if st["values"].shape[1] - 1 <= device_mod.EXACT_ENGINE_MAX_ROWS
+                else "beam"
+            )
         ef = max(params.ef_search, k)
         lmax = st["_lmax"]
         fn = _sharded_search_fn(
-            self.mesh, self.metric, ef, k, lmax, 4 * ef + 32
+            self.mesh, self.metric, ef, k, lmax, 4 * ef + 32, engine
         )
         qr = jax.device_put(q, NamedSharding(self.mesh, P()))
         d, tids = fn(
@@ -198,7 +216,7 @@ class ShardedHnswIndex:
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, mesh_ref):
+def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, mesh_ref):
     mesh = mesh_ref[0]
 
     @jax.jit
@@ -221,20 +239,44 @@ def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, mesh_ref):
     )
     def fn(values, nb0, upper, uslot, trav, etid, entry, entry_level, queries):
         # local block: leading dim 1 (this shard)
-        beam_d, beam_ids = device_mod.beam_search_arrays(
-            values[0],
-            nb0[0],
-            upper[0],
-            uslot[0],
-            trav[0],
-            entry[0],
-            entry_level[0],
-            queries,
-            metric=metric,
-            ef=ef,
-            lmax=lmax,
-            max_steps=max_steps,
-        )
+        if engine == "exact":
+            vals = values[0]
+            dots = jax.lax.dot_general(
+                queries,
+                vals,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if metric == "l2":
+                x2 = jnp.sum(vals * vals, axis=1)
+                q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+                scores = jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
+            elif metric == "ip":
+                scores = -dots
+            elif metric == "cosine":
+                scores = 1.0 - jnp.clip(dots, -1.0, 1.0)
+            else:
+                scores = jnp.sum(
+                    jnp.abs(queries[:, None, :] - vals[None, :, :]), axis=-1
+                )
+            scores = jnp.where(trav[0][None, :], scores, jnp.inf)
+            neg_d, beam_ids = jax.lax.top_k(-scores, ef)
+            beam_d = -neg_d
+        else:
+            beam_d, beam_ids = device_mod.beam_search_arrays(
+                values[0],
+                nb0[0],
+                upper[0],
+                uslot[0],
+                trav[0],
+                entry[0],
+                entry_level[0],
+                queries,
+                metric=metric,
+                ef=ef,
+                lmax=lmax,
+                max_steps=max_steps,
+            )
         # element ids -> heap TIDs before leaving the shard
         tids = jnp.where(beam_ids >= 0, etid[0][jnp.maximum(beam_ids, 0)], -1)
         beam_d = jnp.where(tids >= 0, beam_d, jnp.inf)
@@ -250,7 +292,7 @@ def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, mesh_ref):
     return fn
 
 
-def _sharded_search_fn(mesh, metric, ef, k, lmax, max_steps):
+def _sharded_search_fn(mesh, metric, ef, k, lmax, max_steps, engine="beam"):
     # lru_cache keyed on mesh identity + static config
     return _cached_fn(
         (id(mesh), tuple(mesh.axis_names), mesh.devices.shape),
@@ -259,5 +301,6 @@ def _sharded_search_fn(mesh, metric, ef, k, lmax, max_steps):
         k,
         lmax,
         max_steps,
+        engine,
         (mesh,),
     )

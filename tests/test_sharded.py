@@ -70,3 +70,18 @@ class TestSharded:
         gt = brute_force(data, q, "cosine", 5)
         _, tids = idx.search(q, 5, SearchParams(ef_search=40))
         assert recall_at_k(tids, gt, 5) >= 0.9
+
+
+def test_sharded_exact_engine():
+    import numpy as np
+
+    from pgvector_rx_tpu.config import SearchParams
+    from pgvector_rx_tpu.parallel import ShardedHnswIndex
+
+    rng = np.random.default_rng(21)
+    data = rng.standard_normal((600, 16)).astype(np.float32)
+    idx = ShardedHnswIndex.build(data, n_shards=4, metric="l2", method="host")
+    q = data[:32]
+    d, tids = idx.search(q, 5, SearchParams(ef_search=16), engine="exact")
+    assert (tids[:, 0] == np.arange(32)).all()
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=5e-3)
