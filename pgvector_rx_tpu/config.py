@@ -59,15 +59,23 @@ class IndexParams:
 class SearchParams:
     """Per-query search parameters (GUC analog, options.rs:81-96).
 
-    ``scan_mem_multiplier`` is accepted for parity but, like the reference
-    scan path, not consulted (reference registers it without using it in
-    scans — SURVEY.md "Config / flag system" note).
+    ``scan_mem_multiplier``: the reference registers this GUC but never
+    consults it in the scan path (SURVEY.md "Config / flag system"
+    note). Here it IS enforced, restoring upstream pgvector's intent:
+    an iterative scan stops resuming once its persistent state
+    (visited set + discarded heap) exceeds
+    ``scan_mem_multiplier * work_mem_bytes`` and drains the remaining
+    discarded candidates instead (the same degradation path as
+    max_scan_tuples, scan.rs:828-841).
     """
 
     ef_search: int = C.HNSW_DEFAULT_EF_SEARCH
     iterative_scan: str = C.HNSW_ITERATIVE_SCAN_OFF
     max_scan_tuples: int = C.HNSW_DEFAULT_MAX_SCAN_TUPLES
     scan_mem_multiplier: float = C.HNSW_DEFAULT_SCAN_MEM_MULTIPLIER
+    # PostgreSQL work_mem default (4MB); the memory budget base for
+    # iterative scan state
+    work_mem_bytes: int = 4 * 1024 * 1024
 
     def __post_init__(self) -> None:
         _check_range(

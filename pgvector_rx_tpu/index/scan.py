@@ -130,7 +130,16 @@ class HnswScan:
         # that keeps iterative scans exactly-once.
         self._emitted: set = set()
         self.iterative = params.iterative_scan != HNSW_ITERATIVE_SCAN_OFF
+        # iterative-scan memory budget (scan_mem_multiplier * work_mem):
+        # estimated bytes of persistent scan state; checked before each
+        # resume (see SearchParams docstring)
+        self._mem_budget = params.scan_mem_multiplier * params.work_mem_bytes
         index.stats["scans"] += 1
+
+    def _state_bytes(self) -> float:
+        # CPython set entry ~60B, heap tuple entry ~80B — coarse but
+        # monotone, which is all the cap needs
+        return 60.0 * len(self.visited) + 80.0 * len(self.discarded)
 
     def _run_first(self) -> None:
         ef = self.params.ef_search
@@ -165,8 +174,12 @@ class HnswScan:
             if not self.results:
                 if not self.iterative:
                     return None
-                if self.tuples >= self.params.max_scan_tuples:
-                    # Drain discarded one at a time (scan.rs:828-841)
+                if (
+                    self.tuples >= self.params.max_scan_tuples
+                    or self._state_bytes() > self._mem_budget
+                ):
+                    # Tuple or memory budget exhausted: drain discarded
+                    # one at a time (scan.rs:828-841)
                     if not self.discarded:
                         return None
                     self.results.append(heapq.heappop(self.discarded))

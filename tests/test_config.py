@@ -85,3 +85,31 @@ class TestConstants:
         # page-size-derived cap (types/hnsw.rs:337-349): m=16 -> 82
         assert C.hnsw_get_max_level(16) == 82
         assert C.hnsw_get_max_level(2) <= 255
+
+
+def test_scan_mem_multiplier_caps_iterative_state():
+    import numpy as np
+
+    from pgvector_rx_tpu.config import SearchParams
+    from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+    rng = np.random.default_rng(31)
+    data = rng.standard_normal((2000, 8)).astype(np.float32)
+    index = HnswIndex.build(data, metric="l2", method="host", seed=0)
+
+    # tiny memory budget: the scan must stop resuming early but still
+    # produce results by draining its discarded heap
+    tight = SearchParams(
+        ef_search=4,
+        iterative_scan="relaxed_order",
+        work_mem_bytes=1024,
+    )
+    scan = index.scan(data[0], tight)
+    got_tight = len(scan.take(2000))
+    resumes_tight = index.stats["resumes"]
+
+    loose = SearchParams(ef_search=4, iterative_scan="relaxed_order")
+    scan2 = index.scan(data[0], loose)
+    got_loose = len(scan2.take(2000))
+    assert index.stats["resumes"] > resumes_tight
+    assert got_loose >= got_tight > 0
