@@ -295,7 +295,9 @@ class DeviceBuilder:
             upper_ids=jnp.asarray(up_ids),
             upper_level_masks=jnp.asarray(up_masks),
         )
-        self._search_jit = jax.jit(self._score_select_step)
+        self._search_jit = jax.jit(
+            self._score_select_step, static_argnames=("width",)
+        )
         self._fwd_jit = jax.jit(self._fwd_commit_step, donate_argnums=(1,))
         self._be0_jit = jax.jit(self._backedge0_step, donate_argnums=(1, 2))
         self._beu_jit = jax.jit(self._backedge_upper_compact, donate_argnums=(1, 2))
@@ -360,18 +362,28 @@ class DeviceBuilder:
             sids = jnp.pad(sids, ((0, 0), (0, pad)), constant_values=-1)
         return sd, sids
 
-    def _score_select_step(self, data: BuildData, alive, new_ids, batch_mask, count):
+    def _score_select_step(
+        self, data: BuildData, alive, new_ids, batch_mask, count, width: int
+    ):
         """Exact-scored top-ef_construction candidates + Alg. 4
         selection for all layers.
 
         ``count``: elements inserted before this batch (traced scalar) —
         only rows < count that are alive (not duplicate-folded) are
-        candidates. Layer 0 takes candidates from the full score sweep
-        (approx_min_k above _APPROX_TOPK_MIN rows: TPU's approximate
-        top-k runs ~10x faster than exact sort-based top-k and the Alg.4
-        heuristic is insensitive to 1-2% candidate recall loss). Upper
-        layers score against the compact upper matrix (the ~N/m rows
-        with level >= 1), mirroring the descent's reachability rule.
+        candidates. ``width`` (STATIC, power-of-two bucket >= count)
+        bounds the scored prefix: committed elements always occupy a
+        prefix of the arrays, so scoring the full capacity would (a)
+        waste FLOPs and (b) break approx_min_k, whose positional block
+        reduction loses almost all candidates when the valid entries
+        cluster in a small prefix of a much wider row (this silently
+        wrecked graph quality at the million-row scale). Within the
+        bucket, valid entries span the row, so the approximate top-k's
+        recall target holds. Layer 0 uses approx_min_k above
+        _APPROX_TOPK_MIN rows (TPU's approximate top-k runs ~10x faster
+        than exact sort-based top-k and the Alg. 4 heuristic is
+        insensitive to 1-2% candidate recall loss). Upper layers score
+        against the compact upper matrix (the ~N/m rows with
+        level >= 1), mirroring the descent's reachability rule.
         Selection always runs at lm0 width; the first-m prefix equals
         the lm=m selection (the Alg. 4 keep sequence is prefix-stable
         in lm), so upper layers just truncate.
@@ -383,13 +395,15 @@ class DeviceBuilder:
         q_rows = data.vectors[safe_ids]  # [B, D]
         my_level = data.levels[safe_ids]  # [B]
 
-        # ---- layer 0: full sweep
-        scores = self._score_all(data, q_rows)  # [B, cap+1]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, self.cap + 1), 1)
-        valid = (pos < count) & alive[None, :]
+        # ---- layer 0: sweep over the committed prefix bucket
+        scores = self._score_all(
+            data, q_rows, data.vectors[:width], data.x2[:width]
+        )  # [B, width]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+        valid = (pos < count) & alive[None, :width]
         scores = jnp.where(valid & batch_mask[:, None], scores, jnp.inf)
-        kk = min(self.efc, self.cap + 1)
-        if self.cap + 1 >= _APPROX_TOPK_MIN:
+        kk = min(self.efc, width)
+        if width >= _APPROX_TOPK_MIN:
             neg_d, cand_idx = jax.lax.approx_min_k(
                 scores, kk, recall_target=0.98
             )
@@ -616,12 +630,18 @@ class DeviceBuilder:
 
         debug = os.environ.get("PGV_BUILD_DEBUG")
         t0 = time.time()
+        # static power-of-two score width covering the committed prefix
+        width = 4096
+        while width < min(int(ids[0]) + 1, self.cap + 1):
+            width *= 2
+        width = min(width, self.cap + 1)
         sel_d, sel_ids = self._search_jit(
             self.data,
             self.arrays.alive,
             jnp.asarray(padded),
             jnp.asarray(mask),
             jnp.int32(ids[0]),
+            width=width,
         )
         sel_d_np = np.asarray(sel_d)
         sel_ids_np = np.asarray(sel_ids)
