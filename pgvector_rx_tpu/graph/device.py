@@ -63,6 +63,10 @@ class DeviceGraph:
     words: jax.Array | None = None
     sp_indices: jax.Array | None = None
     sp_values: jax.Array | None = None
+    # serving-engine caches (dense): per-row ||x||^2 and a bf16 copy so
+    # the exact/approx sweeps don't recompute/recast the corpus per call
+    x2: jax.Array | None = None
+    values_bf16: jax.Array | None = None
 
     @classmethod
     def from_index(cls, index) -> "DeviceGraph":
@@ -111,7 +115,10 @@ class DeviceGraph:
         if index.kind == "dense":
             vals = np.zeros((n + 1, index.dim), dtype=np.float32)
             vals[:n] = index.store.rows[:n].astype(np.float32)
-            kwargs["values"] = jnp.asarray(vals)
+            v = jnp.asarray(vals)
+            kwargs["values"] = v
+            kwargs["x2"] = jnp.sum(v * v, axis=1)
+            kwargs["values_bf16"] = v.astype(jnp.bfloat16)
         elif index.kind == "bit":
             from ..ops.bits import pack_bits
 
@@ -380,6 +387,8 @@ jax.tree_util.register_pytree_node(
             g.words,
             g.sp_indices,
             g.sp_values,
+            g.x2,
+            g.values_bf16,
         ),
         (g.kind, g.metric, g.cap, g.m, g.entry, g.entry_level),
     ),
@@ -401,6 +410,8 @@ jax.tree_util.register_pytree_node(
         words=children[8],
         sp_indices=children[9],
         sp_values=children[10],
+        x2=children[11],
+        values_bf16=children[12],
     ),
 )
 
@@ -434,8 +445,15 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
 
     Returns (dists [B, k], element ids [B, k]) sorted nearest-first.
     """
-    vals = g.values.astype(jnp.bfloat16) if approx else g.values
-    q = queries.astype(jnp.bfloat16) if approx else queries
+    if approx:
+        vals = (
+            g.values_bf16
+            if g.values_bf16 is not None
+            else g.values.astype(jnp.bfloat16)
+        )
+        q = queries.astype(jnp.bfloat16)
+    else:
+        vals, q = g.values, queries
     dots = jax.lax.dot_general(
         q,
         vals,
@@ -443,8 +461,10 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
         preferred_element_type=jnp.float32,
     )  # [B, cap+1]
     if g.metric == "l2":
-        x2 = jnp.sum(
-            g.values.astype(jnp.float32) * g.values.astype(jnp.float32), axis=1
+        x2 = (
+            g.x2
+            if g.x2 is not None
+            else jnp.sum(g.values * g.values, axis=1)
         )
         q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
         scores = jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)

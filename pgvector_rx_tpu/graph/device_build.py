@@ -906,4 +906,6 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids):
         emit_tid=jnp.asarray(emit_tid),
         tid_count=jnp.asarray(tid_count),
         values=builder.vectors,
+        x2=builder.data.x2,
+        values_bf16=builder.data.vectors_bf16,
     )
