@@ -405,11 +405,26 @@ class HnswIndex:
 
         return scan.search(self, queries, k, params or SearchParams(), method=method)
 
-    def scan(self, query, params: SearchParams | None = None):
-        """Begin a resumable scan (ambeginscan/amgettuple analog)."""
-        from .scan import HnswScan
+    def scan(self, query, params: SearchParams | None = None, method: str = "auto"):
+        """Begin a resumable scan (ambeginscan/amgettuple analog).
 
-        return HnswScan(self, query, params or SearchParams())
+        method="host": the reference-semantics graph scan (HnswScan).
+        method="device": the TPU-native streaming exact scan
+        (DeviceScan — exactly ordered, recall 1.0; dense only).
+        "auto" picks host when the host graph exists, device otherwise
+        (serving-only indexes).
+        """
+        from .scan import DeviceScan, HnswScan
+
+        params = params or SearchParams()
+        use_device = method == "device" or (
+            method == "auto" and self.serving_only
+        )
+        if use_device:
+            if self.kind != "dense":
+                raise ValueError("device scan supports dense indexes only")
+            return DeviceScan(self, query, params)
+        return HnswScan(self, query, params)
 
     # -- delete / vacuum (delegates to vacuum.py) ----------------------------
 

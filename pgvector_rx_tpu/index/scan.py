@@ -218,6 +218,78 @@ class HnswScan:
         return out
 
 
+class DeviceScan:
+    """TPU-native iterative scan: stream results in exactly-ordered,
+    geometrically growing exact top-k blocks.
+
+    The structural analog of the reference's resumable iterative scan
+    (visited set + discarded heap re-entering the graph,
+    scan.rs:538-577) re-designed for the MXU: instead of spilling beam
+    state and walking more edges, each resume re-runs the exact sweep
+    at 4x the previous k and emits the new tail. Results arrive in true
+    distance order, so strict_order and relaxed_order coincide and the
+    filtered-recall contracts (tests/t/043,044) hold at recall 1.0;
+    max_scan_tuples caps the stream exactly like the reference.
+
+    For corpora past the exact sweep's economics, HnswScan (the graph
+    path) remains the iterative engine.
+    """
+
+    def __init__(self, index, query, params: SearchParams):
+        self.index = index
+        self.params = params
+        self.query = query
+        self._block = max(params.ef_search, 16)
+        self._emitted = 0  # tuples emitted
+        self._buf: list = []  # pending (tid, dist), nearest first
+        self._buf_pos = 0
+        self._exhausted = False
+        self._seen_elems = 0
+        index.stats["scans"] += 1
+
+    def _fetch(self) -> None:
+        total = max(self.index.num_tuples, 1)
+        k = min(self._block, total)
+        dists, ids = self.index.search(
+            np.atleast_2d(np.asarray(self.query, dtype=np.float32)),
+            k,
+            self.params,
+            method="exact",
+        )
+        pairs = [
+            (int(t), float(d))
+            for t, d in zip(ids[0], dists[0])
+            if t >= 0 and np.isfinite(d)
+        ]
+        self._buf = pairs[self._buf_pos :]
+        self._buf_pos += len(self._buf)
+        if k >= total:  # the sweep covered everything there is
+            self._exhausted = True
+        self._block *= 4
+
+    def next(self):
+        """Next (heap_tid, operator_distance) or None."""
+        if self._emitted >= self.params.max_scan_tuples:
+            return None
+        while not self._buf:
+            if self._exhausted:
+                return None
+            self.index.stats["resumes"] += 1
+            self._fetch()
+        tid, d = self._buf.pop(0)
+        self._emitted += 1
+        return tid, d
+
+    def take(self, k: int) -> list[tuple]:
+        out = []
+        while len(out) < k:
+            item = self.next()
+            if item is None:
+                break
+            out.append(item)
+        return out
+
+
 def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
     """Batch k-NN. Returns (distances [B,k] operator-domain, ids [B,k]).
 

@@ -452,3 +452,58 @@ class TestExactEngine:
         sidx = HnswIndex.build(data, metric="l2", method="host", seed=0)
         d2, ids2 = sidx.search(data[7], 1, SearchParams(), method="exact")
         assert ids2[0] == 7
+
+
+class TestDeviceScan:
+    def test_streaming_exact_scan_order_and_resume(self):
+        import numpy as np
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(9)
+        data = rng.standard_normal((500, 12)).astype(np.float32)
+        index = HnswIndex.build(data, metric="l2", method="host", seed=0)
+        q = data[3]
+
+        scan = index.scan(q, SearchParams(ef_search=8), method="device")
+        got = scan.take(120)
+        assert len(got) == 120
+        tids = [t for t, _ in got]
+        dists = [d for _, d in got]
+        # exactly ordered, no duplicates, self first
+        assert tids[0] == 3
+        assert dists == sorted(dists)
+        assert len(set(tids)) == len(tids)
+        # matches brute force prefix
+        full = np.linalg.norm(data - q[None, :], axis=1)
+        gt = np.argsort(full)[:120]
+        assert set(tids) == set(int(i) for i in gt)
+
+    def test_device_scan_max_scan_tuples(self):
+        import numpy as np
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(10)
+        data = rng.standard_normal((200, 6)).astype(np.float32)
+        index = HnswIndex.build(data, metric="l2", method="host", seed=0)
+        scan = index.scan(
+            data[0], SearchParams(ef_search=4, max_scan_tuples=17), method="device"
+        )
+        assert len(scan.take(1000)) == 17
+
+    def test_device_scan_exhausts(self):
+        import numpy as np
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(11)
+        data = rng.standard_normal((60, 6)).astype(np.float32)
+        index = HnswIndex.build(data, metric="l2", method="host", seed=0)
+        scan = index.scan(data[0], SearchParams(ef_search=4), method="device")
+        out = scan.take(10_000)
+        assert len(out) == 60
+        assert scan.next() is None
