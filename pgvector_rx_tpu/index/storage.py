@@ -32,6 +32,9 @@ FORMAT_VERSION = 1
 def save(index, path) -> None:
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
+    if getattr(index, "serving_only", False):
+        _save_serving(index, path)
+        return
     n = len(index.elements)
 
     levels = np.array([e.level for e in index.elements], dtype=np.int16)
@@ -100,6 +103,8 @@ def load(path, replay: bool = True):
     meta = json.loads((path / "meta.json").read_text())
     if meta["magic"] != C.HNSW_MAGIC_NUMBER:
         raise ValueError("hnsw index is not valid (magic number mismatch)")
+    if meta.get("serving_only"):
+        return _load_serving(meta, path)
 
     index = HnswIndex(
         meta["dim"],
@@ -246,3 +251,104 @@ def _rng_state_to_json(rng) -> dict:
 
 def _rng_state_from_json(rng, state) -> None:
     rng.bit_generator.state = state
+
+
+# ---------------------------------------------------------------------------
+# Serving-only checkpoints (flat device arrays; see bulk_build host_graph=False)
+# ---------------------------------------------------------------------------
+
+
+def _save_serving(index, path: Path) -> None:
+    g = index.device_graph()
+    n = g.cap
+    tid_flat, tid_counts = [], []
+    for tids in index.heap_tids:
+        tid_counts.append(len(tids))
+        tid_flat.extend(tids)
+    arrays = {
+        "rows": index.store.rows[:n],
+        "neighbors0": np.asarray(g.neighbors0),
+        "upper_neighbors": np.asarray(g.upper_neighbors),
+        "upper_slot": np.asarray(g.upper_slot),
+        "levels": np.asarray(g.levels),
+        "traversable": np.asarray(g.traversable),
+        "tid_flat": np.array(tid_flat, dtype=np.int64),
+        "tid_counts": np.array(tid_counts, dtype=np.int32),
+    }
+    np.savez_compressed(path / "arrays.npz", **arrays)
+    meta = {
+        "magic": C.HNSW_MAGIC_NUMBER,
+        "format_version": FORMAT_VERSION,
+        "hnsw_version": C.HNSW_VERSION,
+        "serving_only": True,
+        "kind": index.kind,
+        "metric": index.metric,
+        "dim": index.dim,
+        "m": index.params.m,
+        "ef_construction": index.params.ef_construction,
+        "dtype": str(index.dtype) if index.dtype is not None else None,
+        "entry": g.entry,
+        "entry_level": g.entry_level,
+        "seed": index.seed,
+        "n_elements": n,
+        "stats": index.stats,
+    }
+    tmp = path / "meta.json.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, path / "meta.json")
+
+
+def _load_serving(meta, path: Path):
+    import jax.numpy as jnp
+
+    from ..graph.device import DeviceGraph
+    from .hnsw import HnswIndex
+
+    index = HnswIndex(
+        meta["dim"],
+        metric=meta["metric"],
+        kind=meta["kind"],
+        params=IndexParams(m=meta["m"], ef_construction=meta["ef_construction"]),
+        dtype=np.dtype(meta["dtype"]) if meta["dtype"] else np.float32,
+        seed=meta["seed"],
+    )
+    z = np.load(path / "arrays.npz")
+    n = int(meta["n_elements"])
+    index.store.bulk_load(z["rows"])
+    tid_flat, tid_counts = z["tid_flat"], z["tid_counts"]
+    toff = 0
+    emit_tid = np.full(n + 1, -1, dtype=np.int32)
+    tid_count = np.zeros(n + 1, dtype=np.int32)
+    for i in range(n):
+        cnt = int(tid_counts[i])
+        tids = [int(t) for t in tid_flat[toff : toff + cnt]]
+        index.heap_tids.append(tids)
+        tid_count[i] = cnt
+        if tids:
+            emit_tid[i] = tids[0]
+        toff += cnt
+    values = np.zeros((n + 1, meta["dim"]), dtype=np.float32)
+    values[:n] = z["rows"].astype(np.float32)
+    v = jnp.asarray(values)
+    index.serving_only = True
+    index.entry = int(meta["entry"]) if int(meta["entry"]) >= 0 else None
+    index._device = DeviceGraph(
+        kind=meta["kind"],
+        metric=meta["metric"],
+        cap=n,
+        m=meta["m"],
+        entry=int(meta["entry"]),
+        entry_level=int(meta["entry_level"]),
+        neighbors0=jnp.asarray(z["neighbors0"]),
+        upper_neighbors=jnp.asarray(z["upper_neighbors"]),
+        upper_slot=jnp.asarray(z["upper_slot"]),
+        levels=jnp.asarray(z["levels"]),
+        traversable=jnp.asarray(z["traversable"]),
+        emit_tid=jnp.asarray(emit_tid),
+        tid_count=jnp.asarray(tid_count),
+        values=v,
+        x2=jnp.sum(v * v, axis=1),
+        values_bf16=v.astype(jnp.bfloat16),
+    )
+    index.stats.update(meta.get("stats", {}))
+    return index

@@ -108,3 +108,25 @@ class TestServingOnlyBuild:
         assert idx.num_tuples == 99
         tids = {t for tl in idx.heap_tids for t in tl}
         assert 7 not in tids
+
+    def test_serving_only_save_load_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(13)
+        data = rng.standard_normal((300, 16)).astype(np.float32)
+        idx = HnswIndex.build(
+            data, metric="l2", method="device", seed=0, host_graph=False
+        )
+        q = data[:24]
+        d0, i0 = idx.search(q, 5, SearchParams(ef_search=32), method="device")
+        idx.save(tmp_path / "ck")
+        idx2 = HnswIndex.load(tmp_path / "ck")
+        assert idx2.serving_only
+        d1, i1 = idx2.search(q, 5, SearchParams(ef_search=32), method="device")
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(d0, d1, rtol=1e-5)
+        d2, i2 = idx2.search(q, 5, SearchParams(), method="exact")
+        assert (i2[:, 0] == np.arange(24)).all()
