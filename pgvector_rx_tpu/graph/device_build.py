@@ -170,7 +170,8 @@ def _select_neighbors_batch(cand_d, cand_ids, pair, lm: int):
     return out_d, out_ids
 
 
-def _select_neighbors_parallel(cand_d, cand_ids, pair, lm: int):
+def _select_neighbors_parallel(cand_d, cand_ids, pair, lm: int,
+                               alpha_eff: float = 1.0):
     """Parallel relative-neighborhood selection (device-build variant).
 
     The reference heuristic (graph/mod.rs:269-308) keeps candidate i iff
@@ -200,12 +201,20 @@ def _select_neighbors_parallel(cand_d, cand_ids, pair, lm: int):
     # unique fixpoint; log2(C)+2 rounds recover it in practice (recall
     # parity vs the fori_loop version is test-enforced), at a handful
     # of fully-parallel [B, C, C] reductions instead of a C-step chain.
+    # alpha_eff > 1 (Vamana RobustPrune): discard candidate i only when
+    # a kept closer candidate j is MUCH closer to i than the query is
+    # (alpha * d(j,i) <= d(q,i)). The device build's candidates are
+    # exact nearest neighbors — purely local, unlike the reference's
+    # path-dependent beam candidates — so a pinch of alpha restores the
+    # long-range edges HNSW navigability needs. alpha_eff is the
+    # order-distance-domain factor (alpha^2 for squared l2).
+    thresh = cand_d / alpha_eff
     keep = valid
     for _ in range(max(2, int(math.ceil(math.log2(max(C, 2)))) + 2)):
         min_kept = jnp.min(
             jnp.where(keep[:, :, None], pair_e, jnp.inf), axis=1
         )  # [B, C]
-        keep = (min_kept > cand_d) & valid
+        keep = (min_kept > thresh) & valid
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=1)
     keep = keep & (rank <= lm)
 
@@ -237,10 +246,21 @@ class DeviceBuilder:
     """
 
     def __init__(self, metric: str, vectors: np.ndarray, levels: np.ndarray, m: int,
-                 ef_construction: int, batch_max: int = 1024):
+                 ef_construction: int, batch_max: int = 1024,
+                 alpha: float | None = None):
         self.metric = metric
         self.m = m
         self.efc = ef_construction
+        # RobustPrune alpha (see _select_neighbors_parallel); ip's order
+        # distance is signed so scaling is meaningless there
+        if alpha is None:
+            alpha = float(os.environ.get("PGV_BUILD_ALPHA", 1.1))
+        if metric == "l2":
+            self.alpha_eff = alpha * alpha  # squared-distance domain
+        elif metric == "ip":
+            self.alpha_eff = 1.0
+        else:
+            self.alpha_eff = alpha
         self.cap = vectors.shape[0]
         self.dim = vectors.shape[1]
         self.batch_max = batch_max
@@ -355,7 +375,9 @@ class DeviceBuilder:
             jnp.inf,
             pair,
         )
-        sd, sids = _select_neighbors_parallel(cand_d, cand_idx, pair, self.lm0)
+        sd, sids = _select_neighbors_parallel(
+            cand_d, cand_idx, pair, self.lm0, self.alpha_eff
+        )
         pad = self.lm0 - sd.shape[1]
         if pad > 0:  # tiny corpus: fewer candidates than lm0
             sd = jnp.pad(sd, ((0, 0), (0, pad)), constant_values=jnp.inf)
@@ -521,7 +543,9 @@ class DeviceBuilder:
             jnp.inf,
             pair,
         )
-        nd, nids = _select_neighbors_parallel(cand_d, cand_ids, pair, lm)
+        nd, nids = _select_neighbors_parallel(
+            cand_d, cand_ids, pair, lm, self.alpha_eff
+        )
         return head, s_tgt, nids, nd
 
     def _backedge0_step(self, data: BuildData, neighbors0, nbr0_dist, new_ids, sel_d, sel_ids, alive):
@@ -599,7 +623,9 @@ class DeviceBuilder:
             jnp.inf,
             pair,
         )
-        nd, nids = _select_neighbors_parallel(cand_d, cand_ids, pair, lm)
+        nd, nids = _select_neighbors_parallel(
+            cand_d, cand_ids, pair, lm, self.alpha_eff
+        )
 
         sslot = jnp.where(head & (slot >= 0), slot_c, dump_slot)
         slidx = jnp.where(head, lidx, 0)
