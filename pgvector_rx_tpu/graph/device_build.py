@@ -58,6 +58,8 @@ class BuildArrays(NamedTuple):
     upper_nbrs: jax.Array  # [U+1, LMAX, m] int32
     upper_dist: jax.Array  # [U+1, LMAX, m] f32
     alive: jax.Array  # [cap+1] bool — committed, not duplicate-folded
+    tid_counts: jax.Array  # [cap+1] int32 heap TIDs per element (<= 10)
+    absorb: jax.Array  # [cap+1] int32 duplicate-fold target (-1 = none)
     entry: jax.Array  # scalar int32 (-1 empty)
     entry_level: jax.Array  # scalar int32
 
@@ -300,6 +302,8 @@ class DeviceBuilder:
                 (self.n_upper + 1, self.lmax, m), jnp.inf, dtype=jnp.float32
             ),
             alive=jnp.zeros((self.cap + 1,), dtype=jnp.bool_),
+            tid_counts=jnp.zeros((self.cap + 1,), dtype=jnp.int32),
+            absorb=jnp.full((self.cap + 1,), -1, dtype=jnp.int32),
             entry=jnp.int32(-1),
             entry_level=jnp.int32(-1),
         )
@@ -385,7 +389,7 @@ class DeviceBuilder:
         return sd, sids
 
     def _score_select_step(
-        self, data: BuildData, alive, new_ids, batch_mask, count, width: int
+        self, data: BuildData, alive, start, size, width: int
     ):
         """Exact-scored top-ef_construction candidates + Alg. 4
         selection for all layers.
@@ -412,7 +416,11 @@ class DeviceBuilder:
 
         Returns sel_d, sel_ids [B, LMAX+1, lm0] (layer 0 = ground).
         """
-        B = new_ids.shape[0]
+        B = self.batch_max
+        iota_b = jnp.arange(B, dtype=jnp.int32)
+        batch_mask = iota_b < size
+        new_ids = jnp.where(batch_mask, start + iota_b, self.cap)
+        count = start
         safe_ids = jnp.clip(new_ids, 0, self.cap)
         q_rows = data.vectors[safe_ids]  # [B, D]
         my_level = data.levels[safe_ids]  # [B]
@@ -475,9 +483,67 @@ class DeviceBuilder:
 
     # -- step 2: commit (three small programs) -------------------------------
 
-    def _fwd_commit_step(self, data: BuildData, arrays: BuildArrays, new_ids, sel_d, sel_ids, alive):
-        """Scatter forward edges, alive flags, and entry promotion."""
+    def _fwd_commit_step(self, data: BuildData, arrays: BuildArrays, start, size,
+                         sel_d, sel_ids):
+        """On-device duplicate folding + forward edges + entry promotion.
+
+        Duplicate folding (build.rs:474-510 semantics) runs entirely on
+        device so no per-batch host round-trip is needed (the tunnel's
+        ~40ms transfer latency would dominate the build otherwise): an
+        element whose nearest selected ground neighbor is zero-distance
+        and value-equal folds its TID into that element, capped at 10
+        TIDs per element (HNSW_HEAPTIDS); fold decisions within one
+        batch are serialized per target via a rank-in-group pass. The
+        absorb map and tid counts live in BuildArrays; bulk_build
+        downloads them once after the last batch to fix up the host
+        TID table. (Equality is f32 value equality, not raw bytes: NaN
+        is rejected at input and the +0/-0 distinction is not
+        load-bearing.)
+        """
         dump = self.cap
+        B = self.batch_max
+        iota_b = jnp.arange(B, dtype=jnp.int32)
+        mask = iota_b < size
+        new_ids = jnp.where(mask, start + iota_b, dump)
+
+        # ---- duplicate folding
+        q_rows = data.vectors[jnp.clip(new_ids, 0, dump)]
+        cand = sel_ids[:, 0, :]
+        zero = (sel_d[:, 0, :] == 0.0) & (cand >= 0)
+        cand_rows = data.vectors[jnp.clip(cand, 0, dump)]  # [B, lm0, D]
+        eq = jnp.all(cand_rows == q_rows[:, None, :], axis=-1) & zero
+        tc = arrays.tid_counts[jnp.clip(cand, 0, dump)]
+        ok = eq & (tc >= 1) & mask[:, None]
+        has = jnp.any(ok, axis=1)
+        first = jnp.argmax(ok, axis=1)
+        target = jnp.where(has, jnp.take_along_axis(cand, first[:, None], 1)[:, 0], -1)
+
+        # serialize same-target folds within the batch: rank in group
+        big = jnp.int32(2**31 - 1)
+        s_t, s_b = jax.lax.sort(
+            [jnp.where(has, target, big), iota_b], num_keys=1
+        )
+        head = jnp.concatenate([jnp.array([True]), s_t[1:] != s_t[:-1]])
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+        group_base = jax.lax.cummax(jnp.where(head, pos, 0))
+        rank = pos - group_base
+        room = 10 - arrays.tid_counts[jnp.clip(s_t, 0, dump)]
+        fold_sorted = (s_t != big) & (rank < room)
+        fold = jnp.zeros((B,), bool).at[s_b].set(fold_sorted)
+        alive = mask & ~fold
+
+        arrays = arrays._replace(
+            tid_counts=arrays.tid_counts.at[
+                jnp.where(fold, target, dump)
+            ].add(1)
+            .at[jnp.where(alive, new_ids, dump)].set(1)
+            .at[dump].set(0),
+            absorb=arrays.absorb.at[jnp.where(fold, new_ids, dump)]
+            .set(target)
+            .at[dump].set(-1),
+        )
+
+        # ---- forward edges
         fwd_target = jnp.where(alive, new_ids, dump)
         arrays = arrays._replace(
             neighbors0=arrays.neighbors0.at[fwd_target].set(sel_ids[:, 0, :]),
@@ -499,9 +565,9 @@ class DeviceBuilder:
         lv = jnp.where(alive, data.levels[jnp.clip(new_ids, 0, self.cap)], -1)
         batch_max = jnp.max(lv)
         promote = batch_max > arrays.entry_level
-        first = jnp.argmax(lv == batch_max)
+        first_e = jnp.argmax(lv == batch_max)
         return arrays._replace(
-            entry=jnp.where(promote, new_ids[first], arrays.entry),
+            entry=jnp.where(promote, new_ids[first_e], arrays.entry),
             entry_level=jnp.where(promote, batch_max, arrays.entry_level),
         )
 
@@ -548,11 +614,16 @@ class DeviceBuilder:
         )
         return head, s_tgt, nids, nd
 
-    def _backedge0_step(self, data: BuildData, neighbors0, nbr0_dist, new_ids, sel_d, sel_ids, alive):
+    def _backedge0_step(self, data: BuildData, neighbors0, nbr0_dist,
+                        alive_full, start, size, sel_d, sel_ids):
         """Ground-layer back edges (the bulk of the work)."""
-        B = new_ids.shape[0]
+        B = self.batch_max
         lm = self.lm0
         dump = self.cap
+        iota_b = jnp.arange(B, dtype=jnp.int32)
+        mask = iota_b < size
+        new_ids = jnp.where(mask, start + iota_b, dump)
+        alive = alive_full[jnp.clip(new_ids, 0, dump)] & mask
         tgt = sel_ids[:, 0, :].reshape(-1)
         dst = sel_d[:, 0, :].reshape(-1)
         src = jnp.broadcast_to(new_ids[:, None], (B, lm)).reshape(-1)
@@ -574,19 +645,48 @@ class DeviceBuilder:
         )
 
     def _backedge_upper_compact(self, data: BuildData, upper_nbrs, upper_dist,
-                                u_tgt, u_dst, u_src, u_layer):
-        """Upper-layer back edges over a host-compacted request list.
+                                alive_full, start, size, sel_d, sel_ids):
+        """Upper-layer back edges over a device-compacted request list.
 
         Only ~B/m batch elements have level >= 1, so instead of
-        processing a dense [B, LMAX, m] request grid on device (16x
-        wasted work), run_batch extracts the valid requests on the host
-        (the selection arrays are already transferred for duplicate
-        folding) and pads them to a small fixed budget. Requests are
-        grouped by (layer, target) with a 3-key sort; pads use
-        tgt=cap / layer=LMAX+7 so they group last and scatter to the
-        dump row.
+        processing a dense [B, LMAX, m] request grid (16x wasted work),
+        the valid requests are compacted on device (stable argsort on
+        validity) into a fixed budget of 2*B rows — overflow beyond the
+        budget is statistically negligible (expected load is
+        B*m/(m-1)). Requests are grouped by (layer, target) with a
+        3-key sort; pads use tgt=cap / layer=LMAX+7 so they group last
+        and scatter to the dump row.
         """
-        RU = u_tgt.shape[0]
+        B = self.batch_max
+        dump = self.cap
+        iota_b = jnp.arange(B, dtype=jnp.int32)
+        mask = iota_b < size
+        new_ids = jnp.where(mask, start + iota_b, dump)
+        alive = alive_full[jnp.clip(new_ids, 0, dump)] & mask
+
+        lay_ids = sel_ids[:, 1:, : self.m]  # [B, LMAX, m]
+        lay_d = sel_d[:, 1:, : self.m]
+        L = lay_ids.shape[1]
+        flat_t = lay_ids.reshape(-1)
+        flat_d = lay_d.reshape(-1)
+        flat_src = jnp.broadcast_to(
+            new_ids[:, None, None], (B, L, self.m)
+        ).reshape(-1)
+        flat_layer = jnp.broadcast_to(
+            (jnp.arange(L, dtype=jnp.int32) + 1)[None, :, None],
+            (B, L, self.m),
+        ).reshape(-1)
+        flat_valid = (flat_t >= 0) & jnp.broadcast_to(
+            alive[:, None, None], (B, L, self.m)
+        ).reshape(-1)
+
+        RU = 2 * B
+        order = jnp.argsort(~flat_valid)[:RU]  # valid first (stable)
+        sel_ok = flat_valid[order]
+        u_tgt = jnp.where(sel_ok, flat_t[order], dump)
+        u_dst = jnp.where(sel_ok, flat_d[order], jnp.inf)
+        u_src = jnp.where(sel_ok, flat_src[order], -1)
+        u_layer = jnp.where(sel_ok, flat_layer[order], self.lmax + 7)
         lm = self.m
         K = min(lm, 16)
         dump_slot = self.n_upper
@@ -639,115 +739,59 @@ class DeviceBuilder:
     def seed_first(self, first_id: int) -> None:
         self.arrays = self.arrays._replace(
             alive=self.arrays.alive.at[first_id].set(True),
+            tid_counts=self.arrays.tid_counts.at[first_id].set(1),
             entry=jnp.int32(first_id),
             entry_level=self.levels[first_id],
         )
 
-    def run_batch(self, ids: np.ndarray, tid_lookup, heap_tids) -> np.ndarray:
-        """Insert `ids` (<= batch_max; ids must be >= all committed ids).
-        Returns alive mask (False = absorbed as duplicate). `heap_tids`
-        is the host TID table, mutated for duplicate folding."""
-        B = self.batch_max
-        n = len(ids)
-        padded = np.full(B, self.cap, dtype=np.int32)
-        padded[:n] = ids
-        mask = np.zeros(B, dtype=bool)
-        mask[:n] = True
+    def run_batch(self, start: int, size: int) -> None:
+        """Insert elements [start, start+size) — all device-side.
 
+        No per-batch host round trips: batch ids derive from the
+        (start, size) scalars inside each program, duplicate folding
+        runs on device (see _fwd_commit_step), and upper back-edge
+        requests compact on device. The tunnel's per-transfer latency
+        (~40ms even for 1KB downloads) would otherwise dominate the
+        whole build.
+        """
         debug = os.environ.get("PGV_BUILD_DEBUG")
-        t0 = time.time()
-        # static power-of-two score width covering the committed prefix
         width = 4096
-        while width < min(int(ids[0]) + 1, self.cap + 1):
+        while width < min(start + 1, self.cap + 1):
             width *= 2
         width = min(width, self.cap + 1)
+
+        t0 = time.time()
+        jstart = jnp.int32(start)
+        jsize = jnp.int32(size)
         sel_d, sel_ids = self._search_jit(
-            self.data,
-            self.arrays.alive,
-            jnp.asarray(padded),
-            jnp.asarray(mask),
-            jnp.int32(ids[0]),
-            width=width,
+            self.data, self.arrays.alive, jstart, jsize, width=width
         )
-        sel_d_np = np.asarray(sel_d)
-        sel_ids_np = np.asarray(sel_ids)
         if debug:
+            jax.block_until_ready((sel_d, sel_ids))
+            t1 = time.time()
             print(
-                f"[build] batch@{ids[0]} n={n} search {time.time()-t0:.3f}s",
+                f"[build] batch@{start} n={size} w={width} "
+                f"search {t1-t0:.3f}s",
                 file=sys.stderr,
                 flush=True,
             )
 
-        # host duplicate folding (byte equality on zero-distance
-        # layer-0 selected neighbors; build.rs:474-510)
-        alive = mask.copy()
-        vecs = None
-        for j in range(n):
-            row = sel_d_np[j, 0]
-            if not (row == 0.0).any():
-                continue
-            if vecs is None:
-                vecs = np.asarray(self.vectors).view(np.uint32)
-            me = int(ids[j])
-            for slot_pos in range(len(row)):
-                if row[slot_pos] != 0.0:
-                    break
-                cand = int(sel_ids_np[j, 0, slot_pos])
-                if cand < 0:
-                    break
-                if (
-                    np.array_equal(vecs[me], vecs[cand])
-                    and 0 < len(heap_tids[cand]) < 10
-                ):
-                    heap_tids[cand].extend(heap_tids[me])
-                    heap_tids[me] = []
-                    alive[j] = False
-                    break
-
         t0 = time.time()
-        jalive = jnp.asarray(alive)
-        jids = jnp.asarray(padded)
-        a = self._fwd_jit(self.data, self.arrays, jids, sel_d, sel_ids, jalive)
+        a = self._fwd_jit(self.data, self.arrays, jstart, jsize, sel_d, sel_ids)
         if debug:
             jax.block_until_ready(a)
             t1 = time.time()
         nb0, nb0d = self._be0_jit(
-            self.data, a.neighbors0, a.nbr0_dist, jids, sel_d, sel_ids, jalive
+            self.data, a.neighbors0, a.nbr0_dist, a.alive, jstart, jsize,
+            sel_d, sel_ids,
         )
         if debug:
             jax.block_until_ready((nb0, nb0d))
             t2 = time.time()
-
-        # host-compacted upper back-edge requests (see
-        # _backedge_upper_compact): selection arrays are already on the
-        # host for duplicate folding, so extraction costs nothing extra
-        lay_ids = sel_ids_np[:, 1:, : self.m]
-        lay_d = sel_d_np[:, 1:, : self.m]
-        bsel, lsel, ssel = np.nonzero((lay_ids >= 0) & alive[:, None, None])
-        n_req = len(bsel)
-        RU = 2048
-        up, upd = a.upper_nbrs, a.upper_dist
-        for start in range(0, max(n_req, 1), RU):
-            sl = slice(start, start + RU)
-            cnt = len(bsel[sl])
-            u_tgt = np.full(RU, self.cap, dtype=np.int32)
-            u_dst = np.full(RU, np.inf, dtype=np.float32)
-            u_src = np.full(RU, -1, dtype=np.int32)
-            u_layer = np.full(RU, self.lmax + 7, dtype=np.int32)
-            if cnt:
-                u_tgt[:cnt] = lay_ids[bsel[sl], lsel[sl], ssel[sl]]
-                u_dst[:cnt] = lay_d[bsel[sl], lsel[sl], ssel[sl]]
-                u_src[:cnt] = padded[bsel[sl]]
-                u_layer[:cnt] = lsel[sl] + 1
-            up, upd = self._beu_jit(
-                self.data,
-                up,
-                upd,
-                jnp.asarray(u_tgt),
-                jnp.asarray(u_dst),
-                jnp.asarray(u_src),
-                jnp.asarray(u_layer),
-            )
+        up, upd = self._beu_jit(
+            self.data, a.upper_nbrs, a.upper_dist, a.alive, jstart, jsize,
+            sel_d, sel_ids,
+        )
         self.arrays = a._replace(
             neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
         )
@@ -755,12 +799,11 @@ class DeviceBuilder:
             jax.block_until_ready(self.arrays)
             t3 = time.time()
             print(
-                f"[build] batch@{ids[0]} commit {t3-t0:.3f}s "
+                f"[build] batch@{start} commit {t3-t0:.3f}s "
                 f"(fwd {t1-t0:.3f} be0 {t2-t1:.3f} beu {t3-t2:.3f})",
                 file=sys.stderr,
                 flush=True,
             )
-        return alive[:n]
 
 
 def batch_schedule(n: int, batch_max: int):
@@ -854,9 +897,15 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     heap_tids = [[t] for t in kept_tids]
     builder.seed_first(0)
     for start, size in batch_schedule(n, builder.batch_max):
-        builder.run_batch(
-            np.arange(start, start + size, dtype=np.int32), None, heap_tids
-        )
+        builder.run_batch(start, size)
+
+    # one download of the device-side duplicate-fold decisions; apply
+    # in insertion order so TID lists match sequential-fold semantics
+    absorb = np.asarray(builder.arrays.absorb)[:n]
+    for e in np.nonzero(absorb >= 0)[0]:
+        t = int(absorb[e])
+        heap_tids[t].extend(heap_tids[e])
+        heap_tids[e] = []
 
     base = len(index.elements)
     assert base == 0, "device bulk build requires an empty index"
