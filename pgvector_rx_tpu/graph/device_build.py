@@ -325,6 +325,7 @@ class DeviceBuilder:
         self._fwd_jit = jax.jit(self._fwd_commit_step, donate_argnums=(1,))
         self._be0_jit = jax.jit(self._backedge0_step, donate_argnums=(1, 2))
         self._beu_jit = jax.jit(self._backedge_upper_compact, donate_argnums=(1, 2))
+        self._commit_jit = jax.jit(self._commit_all_step, donate_argnums=(1,))
 
     # -- step 1: exact scoring + per-layer selection -------------------------
 
@@ -734,6 +735,25 @@ class DeviceBuilder:
             upper_dist.at[sslot, slidx].set(nd),
         )
 
+    def _commit_all_step(self, data: BuildData, arrays: BuildArrays, start,
+                         size, sel_d, sel_ids):
+        """Fused commit: duplicate folding + forward edges + both
+        back-edge passes in ONE program (the tunnel charges per
+        dispatch, so fewer, larger programs win; this one is
+        width-independent and compiles once per build shape)."""
+        a = self._fwd_commit_step(data, arrays, start, size, sel_d, sel_ids)
+        nb0, nb0d = self._backedge0_step(
+            data, a.neighbors0, a.nbr0_dist, a.alive, start, size, sel_d,
+            sel_ids,
+        )
+        up, upd = self._backedge_upper_compact(
+            data, a.upper_nbrs, a.upper_dist, a.alive, start, size, sel_d,
+            sel_ids,
+        )
+        return a._replace(
+            neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
+        )
+
     # -- public driver -------------------------------------------------------
 
     def seed_first(self, first_id: int) -> None:
@@ -777,25 +797,25 @@ class DeviceBuilder:
             )
 
         t0 = time.time()
-        a = self._fwd_jit(self.data, self.arrays, jstart, jsize, sel_d, sel_ids)
         if debug:
+            a = self._fwd_jit(
+                self.data, self.arrays, jstart, jsize, sel_d, sel_ids
+            )
             jax.block_until_ready(a)
             t1 = time.time()
-        nb0, nb0d = self._be0_jit(
-            self.data, a.neighbors0, a.nbr0_dist, a.alive, jstart, jsize,
-            sel_d, sel_ids,
-        )
-        if debug:
+            nb0, nb0d = self._be0_jit(
+                self.data, a.neighbors0, a.nbr0_dist, a.alive, jstart, jsize,
+                sel_d, sel_ids,
+            )
             jax.block_until_ready((nb0, nb0d))
             t2 = time.time()
-        up, upd = self._beu_jit(
-            self.data, a.upper_nbrs, a.upper_dist, a.alive, jstart, jsize,
-            sel_d, sel_ids,
-        )
-        self.arrays = a._replace(
-            neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
-        )
-        if debug:
+            up, upd = self._beu_jit(
+                self.data, a.upper_nbrs, a.upper_dist, a.alive, jstart, jsize,
+                sel_d, sel_ids,
+            )
+            self.arrays = a._replace(
+                neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
+            )
             jax.block_until_ready(self.arrays)
             t3 = time.time()
             print(
@@ -803,6 +823,10 @@ class DeviceBuilder:
                 f"(fwd {t1-t0:.3f} be0 {t2-t1:.3f} beu {t3-t2:.3f})",
                 file=sys.stderr,
                 flush=True,
+            )
+        else:
+            self.arrays = self._commit_jit(
+                self.data, self.arrays, jstart, jsize, sel_d, sel_ids
             )
 
 
