@@ -426,22 +426,35 @@ class DeviceBuilder:
         q_rows = data.vectors[safe_ids]  # [B, D]
         my_level = data.levels[safe_ids]  # [B]
 
-        # ---- layer 0: sweep over the committed prefix bucket
-        scores = self._score_all(
-            data, q_rows, data.vectors[:width], data.x2[:width]
-        )  # [B, width]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-        valid = (pos < count) & alive[None, :width]
-        scores = jnp.where(valid & batch_mask[:, None], scores, jnp.inf)
+        # ---- layer 0: sweep over the committed prefix bucket, in
+        # query chunks so the [chunk, width] score matrix stays ~4GB
+        # regardless of batch size (invalid batch rows produce junk
+        # candidates that the act/alive masks downstream discard)
         kk = min(self.efc, width)
-        if width >= _APPROX_TOPK_MIN:
-            neg_d, cand_idx = jax.lax.approx_min_k(
-                scores, kk, recall_target=0.98
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+        col_valid = (pos < count) & alive[None, :width]
+
+        def score_chunk(q_chunk):
+            scores = self._score_all(
+                data, q_chunk, data.vectors[:width], data.x2[:width]
             )
-            cand_d = neg_d
+            scores = jnp.where(col_valid, scores, jnp.inf)
+            if width >= _APPROX_TOPK_MIN:
+                d, i = jax.lax.approx_min_k(scores, kk, recall_target=0.98)
+            else:
+                neg, i = jax.lax.top_k(-scores, kk)
+                d = -neg
+            return d, i
+
+        CHQ = min(1024, B)
+        if B % CHQ == 0 and B > CHQ:
+            cd_c, ci_c = jax.lax.map(
+                score_chunk, q_rows.reshape(-1, CHQ, self.dim)
+            )
+            cand_d = cd_c.reshape(B, kk)
+            cand_idx = ci_c.reshape(B, kk)
         else:
-            neg_d, cand_idx = jax.lax.top_k(-scores, kk)
-            cand_d = -neg_d
+            cand_d, cand_idx = score_chunk(q_rows)
         sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
 
         # ---- upper layers: compact sweep over level>=1 rows
@@ -906,16 +919,13 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         levels,
         index.params.m,
         index.params.ef_construction,
-        # the [B, cap+1] f32 score matrix is the peak transient; keep it
-        # under ~4GB of HBM (1024 at 1M rows, 4096 up to 256k rows)
+        # chunked scoring caps the transient score matrix at
+        # [1024, width], so batch size is limited only by the frozen-
+        # snapshot approximation (<= n/16) and state-copy amortization
         batch_max=int(
             os.environ.get("PGV_BUILD_BATCH", 0)
         )
-        or min(
-            4096,
-            max(64, n // 16 or 1),
-            max(256, (4 << 30) // (4 * (n + 1))),
-        ),
+        or min(8192, max(64, 1 << max(n // 16, 1).bit_length() >> 1)),
     )
 
     heap_tids = [[t] for t in kept_tids]
