@@ -574,6 +574,12 @@ def prepare_query_matrix(index, q: np.ndarray):
 
 def prepare_queries(index, qlist):
     """Canonicalize queries to stacked device inputs."""
+    if isinstance(qlist, jax.Array) and index.kind == "dense":
+        q = qlist.astype(jnp.float32)
+        if index.metric == "cosine":
+            n = jnp.linalg.norm(q, axis=1, keepdims=True)
+            q = jnp.where(n > 0, q / jnp.where(n > 0, n, 1.0), 0.0)
+        return q
     if index.kind == "dense":
         # vectorized: per-row prepare_value costs more than the search
         # itself at serving batch sizes

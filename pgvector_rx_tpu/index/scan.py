@@ -299,8 +299,16 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
     the device for dense batches >= 32 queries, letting the device layer
     choose exact vs beam by corpus size (graph/device.py).
     """
-    single = _is_single_query(index, queries)
-    qlist = [queries] if single else list(queries)
+    import jax
+
+    if isinstance(queries, jax.Array):
+        # device-staged query batch: pass through untouched (serving
+        # steady state — queries already in HBM)
+        single = queries.ndim == 1
+        qlist = queries[None] if single else queries
+    else:
+        single = _is_single_query(index, queries)
+        qlist = [queries] if single else list(queries)
 
     engine = {
         "device": "beam",
