@@ -256,7 +256,7 @@ class DeviceBuilder:
         # RobustPrune alpha (see _select_neighbors_parallel); ip's order
         # distance is signed so scaling is meaningless there
         if alpha is None:
-            alpha = float(os.environ.get("PGV_BUILD_ALPHA", 1.1))
+            alpha = float(os.environ.get("PGV_BUILD_ALPHA", 1.0))
         if metric == "l2":
             self.alpha_eff = alpha * alpha  # squared-distance domain
         elif metric == "ip":
@@ -919,13 +919,18 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         levels,
         index.params.m,
         index.params.ef_construction,
-        # chunked scoring caps the transient score matrix at
-        # [1024, width], so batch size is limited only by the frozen-
-        # snapshot approximation (<= n/16) and state-copy amortization
+        # Chunked scoring caps the transient score matrix at
+        # [1024, width]; batch growth beyond ~2k measurably hurt graph
+        # quality at the million-row scale (frozen-snapshot approx), so
+        # the default stays conservative. PGV_BUILD_BATCH overrides.
         batch_max=int(
             os.environ.get("PGV_BUILD_BATCH", 0)
         )
-        or min(8192, max(64, 1 << max(n // 16, 1).bit_length() >> 1)),
+        or min(
+            4096,
+            max(64, 1 << max(n // 16, 1).bit_length() >> 1),
+            max(256, (4 << 30) // (4 * (n + 1))),
+        ),
     )
 
     heap_tids = [[t] for t in kept_tids]
