@@ -12,11 +12,16 @@ fastest one whose measured recall@10 (vs exact ground truth) clears
 - "beam":   batched HNSW graph beam search at ef_search=40
   (PGV_BENCH_BEAM=0 to skip; it is the parity path, not the fast path)
 
+Each engine serves the whole staged query matrix in ONE device program
+and ONE result download (graph.device.serve_topk) — the dev harness's
+tunnel charges ~0.5s per dispatch and per download regardless of size,
+so per-batch host loops measure the tunnel, not the chip.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 20000 (BASELINE.md: >= 20k QPS/chip target).
 
-Env knobs: PGV_BENCH_N (default 1000000), PGV_BENCH_Q (4096 queries),
-PGV_BENCH_BATCH (1024), PGV_BENCH_DIM (128), PGV_BENCH_BEAM (1).
+Env knobs: PGV_BENCH_N (default 1000000), PGV_BENCH_Q (16384 queries),
+PGV_BENCH_DIM (128), PGV_BENCH_BEAM (1).
 """
 
 import json
@@ -42,8 +47,7 @@ def make_sift_like(n, d, seed=0, n_clusters=1000):
 
 def main():
     n = int(os.environ.get("PGV_BENCH_N", 1_000_000))
-    n_q = int(os.environ.get("PGV_BENCH_Q", 4096))
-    batch = int(os.environ.get("PGV_BENCH_BATCH", 1024))
+    n_q = int(os.environ.get("PGV_BENCH_Q", 16384))
     dim = int(os.environ.get("PGV_BENCH_DIM", 128))
     run_beam = os.environ.get("PGV_BENCH_BEAM", "1") != "0"
     k = 10
@@ -62,7 +66,6 @@ def main():
     log(f"devices: {jax.devices()}")
     import jax.numpy as jnp
 
-    from pgvector_rx_tpu.config import SearchParams
     from pgvector_rx_tpu.graph import device as device_mod
     from pgvector_rx_tpu.index.hnsw import HnswIndex
 
@@ -83,21 +86,25 @@ def main():
     build_rate = n / build_s
     log(f"  build: {build_s:.1f}s = {build_rate:.0f} vectors/sec")
 
+    # stage queries in HBM once: serving steady state measures the
+    # engines, not the harness's host-device tunnel
+    queries_dev = jnp.asarray(queries)
+
     log("computing exact ground truth (fused Pallas top-k)...")
     from pgvector_rx_tpu.ops.pallas_bruteforce import available, l2_topk
 
     t0 = time.time()
     if available():
-        gt_chunks = []
         base = jnp.asarray(data)
-        for s in range(0, n_q, batch):
-            _, ids = l2_topk(base, jnp.asarray(queries[s : s + batch]), k)
-            gt_chunks.append(np.asarray(ids))
-        gt = np.concatenate(gt_chunks)
-        del base
+        gt_parts = [
+            l2_topk(base, queries_dev[s : s + 1024], k)[1]
+            for s in range(0, n_q, 1024)
+        ]
+        gt = np.asarray(jnp.concatenate(gt_parts))
+        del base, gt_parts
     else:  # CPU fallback (smoke runs)
         g = index.device_graph()
-        _, gt = device_mod._exact_search_batch(g, jnp.asarray(queries), k)
+        _, gt = device_mod._exact_search_batch(g, queries_dev, k)
         gt = np.asarray(gt)
     log(f"  gt in {time.time()-t0:.1f}s")
 
@@ -106,41 +113,22 @@ def main():
             np.mean([len(set(ids[b]) & set(gt[b])) / k for b in range(n_q)])
         )
 
-    # stage queries in HBM once: serving steady state measures the
-    # engines, not this dev harness's ~40ms-per-transfer tunnel
-    queries_dev = jnp.asarray(
-        np.concatenate(
-            [queries, np.zeros(((-n_q) % batch, dim), np.float32)]
-        )
-    )
-
-    def run_engine(name, fn):
-        """Compile+measure: returns (recall, steady qps)."""
-        out = np.full((n_q, k), -1, dtype=np.int64)
-        # warmup / compile on the first batch shape
-        fn(queries_dev[:batch])
+    def run_engine(name, engine):
+        """One-dispatch sweep over the staged queries: (recall, qps)."""
+        device_mod.serve_topk(index, queries_dev, k, engine=engine)  # warm
         t0 = time.time()
-        for s in range(0, n_q, batch):
-            _, ids = fn(queries_dev[s : s + batch])
-            out[s : s + min(batch, n_q - s)] = ids[: min(batch, n_q - s)]
+        _, ids = device_mod.serve_topk(index, queries_dev, k, engine=engine)
         dt = time.time() - t0
-        rec = recall_of(out)
+        rec = recall_of(ids)
         qps = n_q / dt
         log(f"  {name}: recall@10={rec:.4f} qps={qps:.0f}")
         return rec, qps
 
-    params = SearchParams(ef_search=40)
     results = {}
-    results["exact"] = run_engine(
-        "exact", lambda q: index.search(q, k, params, method="exact")
-    )
-    results["approx"] = run_engine(
-        "approx", lambda q: index.search(q, k, params, method="approx")
-    )
+    results["exact"] = run_engine("exact", "exact")
+    results["approx"] = run_engine("approx", "approx")
     if run_beam:
-        results["beam(ef=40)"] = run_engine(
-            "beam(ef=40)", lambda q: index.search(q, k, params, method="device")
-        )
+        results["beam(ef=40)"] = run_engine("beam(ef=40)", "beam")
 
     # headline: fastest engine clearing the 0.95 recall bar
     ok = {e: (r, q) for e, (r, q) in results.items() if r >= 0.95}

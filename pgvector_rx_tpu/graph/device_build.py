@@ -49,6 +49,18 @@ from ..constants import hnsw_get_layer_m
 # below this corpus size exact top_k is cheap; above it use approx_min_k
 _APPROX_TOPK_MIN = 16384
 
+# batches folded into one device program dispatch (see _bucket_program).
+# The dev harness's tunnel charges ~0.5s per program dispatch no matter
+# how small, so the build runs up to this many (search+commit) batches
+# per dispatch inside a lax.fori_loop; the trip count is a traced
+# scalar, so one compiled program per width bucket serves any batch
+# count.
+_BATCHES_PER_DISPATCH = 128
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 1).bit_length()
+
 
 class BuildArrays(NamedTuple):
     """Mutable graph state threaded through the jitted steps."""
@@ -263,47 +275,77 @@ class DeviceBuilder:
             self.alpha_eff = 1.0
         else:
             self.alpha_eff = alpha
-        self.cap = vectors.shape[0]
+        self.n = n = vectors.shape[0]
         self.dim = vectors.shape[1]
         self.batch_max = batch_max
         self.lm0 = hnsw_get_layer_m(m, 0)
-        self.lmax = max(int(levels.max()) if len(levels) else 0, 1)
 
-        # capacity+1: last row is a scatter dump / gather pad target
-        pad_row = np.zeros((1, self.dim), dtype=np.float32)
+        # Every array dimension is padded to a size bucket (1/8-octave
+        # granularity, i.e. next_pow2 rounded down to 8 steps per
+        # doubling) so the compiled programs — whose HLO embeds these
+        # shapes — hit the persistent compilation cache across corpus
+        # sizes and across runs. Compile time, not device time, is the
+        # dominant cold-start cost of the build.
+        granule = max(4096, _next_pow2(n + 1) // 8)
+        cap_pad = -(-(n + 1) // granule) * granule
+        self.cap = cap_pad - 1  # dump row index (scatter sink / gather pad)
+
+        # deterministic max level per size bucket: level counts above
+        # ln(cap)/ln(m)+3 occur with probability < m^-3 per element, and
+        # clamping them is exactly the reference's max-level cap
+        # behavior (build.rs:373-377 caps at hnsw_get_max_level)
+        self.lmax = max(
+            int(math.log(_next_pow2(cap_pad)) / math.log(max(m, 2))) + 3, 1
+        )
+        levels = np.minimum(levels.astype(np.int32), self.lmax)
+
+        pad_rows = np.zeros((cap_pad - n, self.dim), dtype=np.float32)
         self.vectors = jnp.asarray(
-            np.concatenate([vectors.astype(np.float32), pad_row])
+            np.concatenate([vectors.astype(np.float32), pad_rows])
         )
         self.levels = jnp.asarray(
-            np.concatenate([levels.astype(np.int32), [-1]])
+            np.concatenate([levels, np.full(cap_pad - n, -1, np.int32)])
         )
-        upper_slot = np.full(self.cap + 1, -1, dtype=np.int32)
+        upper_slot = np.full(cap_pad, -1, dtype=np.int32)
         ups = np.nonzero(levels >= 1)[0]
-        upper_slot[ups] = np.arange(len(ups), dtype=np.int32)
-        self.upper_slot = jnp.asarray(upper_slot)
         self.n_upper = len(ups)
-        up_vecs = np.concatenate(
-            [vectors.astype(np.float32)[ups], np.zeros((1, self.dim), np.float32)]
-        )
-        up_ids = np.concatenate([ups, [self.cap]]).astype(np.int32)
-        up_levels = np.concatenate([levels.astype(np.int32)[ups], [-1]])
+        upper_pad = _next_pow2(self.n_upper + 1)
+        self.upper_dump = upper_pad - 1  # dump slot for upper scatters
+        # Upper slots are assigned in SHUFFLED order (fixed seed:
+        # deterministic builds), not element order: committed elements
+        # are always a prefix of the element ids, so element-ordered
+        # slots would cluster the valid entries of every upper score
+        # row into a prefix — which silently starves approx_min_k's
+        # positional block reduction of candidates. Uniform spread makes
+        # the approximate top-k statistically sound at any fill level.
+        perm = np.random.default_rng(0xA953).permutation(
+            max(self.n_upper, 1)
+        )[: self.n_upper].astype(np.int32)
+        upper_slot[ups] = perm
+        self.upper_slot = jnp.asarray(upper_slot)
+        up_vecs = np.zeros((upper_pad, self.dim), np.float32)
+        up_vecs[perm] = vectors.astype(np.float32)[ups]
+        up_ids = np.full(upper_pad, self.cap, dtype=np.int32)
+        up_ids[perm] = ups
+        up_levels = np.full(upper_pad, -1, dtype=np.int32)
+        up_levels[perm] = levels[ups]
         up_masks = (
             up_levels[None, :]
             >= np.arange(1, self.lmax + 1, dtype=np.int32)[:, None]
         )
 
         self.arrays = BuildArrays(
-            neighbors0=jnp.full((self.cap + 1, self.lm0), -1, dtype=jnp.int32),
-            nbr0_dist=jnp.full((self.cap + 1, self.lm0), jnp.inf, dtype=jnp.float32),
+            neighbors0=jnp.full((cap_pad, self.lm0), -1, dtype=jnp.int32),
+            nbr0_dist=jnp.full((cap_pad, self.lm0), jnp.inf, dtype=jnp.float32),
             upper_nbrs=jnp.full(
-                (self.n_upper + 1, self.lmax, m), -1, dtype=jnp.int32
+                (upper_pad, self.lmax, m), -1, dtype=jnp.int32
             ),
             upper_dist=jnp.full(
-                (self.n_upper + 1, self.lmax, m), jnp.inf, dtype=jnp.float32
+                (upper_pad, self.lmax, m), jnp.inf, dtype=jnp.float32
             ),
-            alive=jnp.zeros((self.cap + 1,), dtype=jnp.bool_),
-            tid_counts=jnp.zeros((self.cap + 1,), dtype=jnp.int32),
-            absorb=jnp.full((self.cap + 1,), -1, dtype=jnp.int32),
+            alive=jnp.zeros((cap_pad,), dtype=jnp.bool_),
+            tid_counts=jnp.zeros((cap_pad,), dtype=jnp.int32),
+            absorb=jnp.full((cap_pad,), -1, dtype=jnp.int32),
             entry=jnp.int32(-1),
             entry_level=jnp.int32(-1),
         )
@@ -326,6 +368,11 @@ class DeviceBuilder:
         self._be0_jit = jax.jit(self._backedge0_step, donate_argnums=(1, 2))
         self._beu_jit = jax.jit(self._backedge_upper_compact, donate_argnums=(1, 2))
         self._commit_jit = jax.jit(self._commit_all_step, donate_argnums=(1,))
+        self._bucket_jit = jax.jit(
+            self._bucket_program,
+            static_argnames=("width",),
+            donate_argnums=(1,),
+        )
 
     # -- step 1: exact scoring + per-layer selection -------------------------
 
@@ -457,23 +504,35 @@ class DeviceBuilder:
             cand_d, cand_idx = score_chunk(q_rows)
         sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
 
-        # ---- upper layers: compact sweep over level>=1 rows
+        # ---- upper layers: compact sweep over level>=1 rows (~N/m of
+        # the corpus; slot order is shuffled, so committed/level-mask
+        # validity is uniformly spread across each score row)
         u_scores = self._score_all(
             data, q_rows, data.upper_vectors, data.upper_x2
-        )  # [B, U+1]
-        u_valid = (data.upper_ids[None, :] < count) & alive[
-            jnp.clip(data.upper_ids, 0, self.cap)
+        )  # [B, upper_pad]
+        width_u = u_scores.shape[1]
+        u_ids = data.upper_ids
+        u_valid = (u_ids[None, :] < count) & alive[
+            jnp.clip(u_ids, 0, self.cap)
         ][None, :]
         u_scores = jnp.where(u_valid & batch_mask[:, None], u_scores, jnp.inf)
-        kku = min(self.efc, u_scores.shape[1])
+        kku = min(self.efc, width_u)
 
         def per_upper_layer(lmask):
             s_l = jnp.where(lmask[None, :], u_scores, jnp.inf)
-            neg_d, slot_idx = jax.lax.top_k(-s_l, kku)
-            c_idx = data.upper_ids[slot_idx]
-            return self._candidates_to_selection(data, -neg_d, c_idx)
+            if width_u >= _APPROX_TOPK_MIN:
+                d_l, slot_idx = jax.lax.approx_min_k(
+                    s_l, kku, recall_target=0.98
+                )
+            else:
+                neg_d, slot_idx = jax.lax.top_k(-s_l, kku)
+                d_l = -neg_d
+            c_idx = u_ids[slot_idx]
+            return self._candidates_to_selection(data, d_l, c_idx)
 
-        selu_d, selu_ids = jax.lax.map(per_upper_layer, data.upper_level_masks)
+        selu_d, selu_ids = jax.lax.map(
+            per_upper_layer, data.upper_level_masks
+        )
 
         sel_d = jnp.concatenate([sel0_d[:, None], jnp.moveaxis(selu_d, 0, 1)], 1)
         sel_ids = jnp.concatenate(
@@ -565,7 +624,7 @@ class DeviceBuilder:
             alive=arrays.alive.at[fwd_target].set(True).at[dump].set(False),
         )
         slot = data.upper_slot[jnp.clip(new_ids, 0, self.cap)]
-        starget = jnp.where(alive & (slot >= 0), slot, self.n_upper)
+        starget = jnp.where(alive & (slot >= 0), slot, self.upper_dump)
         # [B, LMAX, m] block scatter of all upper layers at once
         arrays = arrays._replace(
             upper_nbrs=arrays.upper_nbrs.at[starget].set(
@@ -703,7 +762,7 @@ class DeviceBuilder:
         u_layer = jnp.where(sel_ok, flat_layer[order], self.lmax + 7)
         lm = self.m
         K = min(lm, 16)
-        dump_slot = self.n_upper
+        dump_slot = self.upper_dump
         s_layer, s_tgt, s_d, s_src = jax.lax.sort(
             [u_layer, u_tgt, u_dst, u_src], num_keys=3
         )
@@ -767,6 +826,30 @@ class DeviceBuilder:
             neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
         )
 
+    def _bucket_program(self, data: BuildData, arrays: BuildArrays,
+                        starts, sizes, nb, width: int):
+        """Run up to _BATCHES_PER_DISPATCH (search + commit) batches in
+        ONE device program.
+
+        starts/sizes [_BATCHES_PER_DISPATCH] int32 (size 0 = no-op pad);
+        nb is a traced scalar trip count, so one compiled program per
+        (width, width_u) bucket serves any number of batches. This is
+        the tunnel-model optimization that makes the build fast end to
+        end: per-program dispatch costs ~0.5s on the dev harness no
+        matter how small the program, so the entire build issues only
+        O(log N) dispatches instead of O(N / batch).
+        """
+
+        def body(i, arr):
+            s = starts[i]
+            z = sizes[i]
+            sel_d, sel_ids = self._score_select_step(
+                data, arr.alive, s, z, width
+            )
+            return self._commit_all_step(data, arr, s, z, sel_d, sel_ids)
+
+        return jax.lax.fori_loop(0, nb, body, arrays)
+
     # -- public driver -------------------------------------------------------
 
     def seed_first(self, first_id: int) -> None:
@@ -777,21 +860,49 @@ class DeviceBuilder:
             entry_level=self.levels[first_id],
         )
 
-    def run_batch(self, start: int, size: int) -> None:
-        """Insert elements [start, start+size) — all device-side.
-
-        No per-batch host round trips: batch ids derive from the
-        (start, size) scalars inside each program, duplicate folding
-        runs on device (see _fwd_commit_step), and upper back-edge
-        requests compact on device. The tunnel's per-transfer latency
-        (~40ms even for 1KB downloads) would otherwise dominate the
-        whole build.
-        """
-        debug = os.environ.get("PGV_BUILD_DEBUG")
+    def _width_for(self, start: int) -> int:
+        """Static scored-prefix bucket for a batch starting at `start`."""
         width = 4096
         while width < min(start + 1, self.cap + 1):
             width *= 2
-        width = min(width, self.cap + 1)
+        return min(width, self.cap + 1)
+
+    def run_all(self, schedule) -> None:
+        """Run the whole batch schedule, folding consecutive same-bucket
+        batches into single device dispatches (see _bucket_program)."""
+        NB = _BATCHES_PER_DISPATCH
+        debug = os.environ.get("PGV_BUILD_DEBUG")
+        if debug:
+            for start, size in schedule:
+                self.run_batch(start, size)
+            return
+        groups: list[tuple[int, list]] = []
+        for start, size in schedule:
+            w = self._width_for(start)
+            if groups and groups[-1][0] == w and len(groups[-1][1]) < NB:
+                groups[-1][1].append((start, size))
+            else:
+                groups.append((w, [(start, size)]))
+        for w, batches in groups:
+            starts = np.zeros(NB, np.int32)
+            sizes = np.zeros(NB, np.int32)
+            for i, (s, z) in enumerate(batches):
+                starts[i] = s
+                sizes[i] = z
+            self.arrays = self._bucket_jit(
+                self.data,
+                self.arrays,
+                jnp.asarray(starts),
+                jnp.asarray(sizes),
+                jnp.int32(len(batches)),
+                width=w,
+            )
+
+    def run_batch(self, start: int, size: int) -> None:
+        """Insert elements [start, start+size) — one dispatch per phase
+        (the instrumented/debug path; run_all is the fast path)."""
+        debug = os.environ.get("PGV_BUILD_DEBUG")
+        width = self._width_for(start)
 
         t0 = time.time()
         jstart = jnp.int32(start)
@@ -935,8 +1046,7 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
 
     heap_tids = [[t] for t in kept_tids]
     builder.seed_first(0)
-    for start, size in batch_schedule(n, builder.batch_max):
-        builder.run_batch(start, size)
+    builder.run_all(batch_schedule(n, builder.batch_max))
 
     # one download of the device-side duplicate-fold decisions; apply
     # in insertion order so TID lists match sequential-fold semantics

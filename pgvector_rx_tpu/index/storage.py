@@ -260,18 +260,22 @@ def _rng_state_from_json(rng, state) -> None:
 
 def _save_serving(index, path: Path) -> None:
     g = index.device_graph()
-    n = g.cap
+    # g.cap may exceed the element count (device arrays are padded to a
+    # size bucket for compile-cache stability); persist only the real
+    # rows — row n is the untouched dump/pad row (all -1 / False), so
+    # slicing [:n+1] reconstitutes a valid unpadded graph
+    n = len(index.heap_tids)
     tid_flat, tid_counts = [], []
     for tids in index.heap_tids:
         tid_counts.append(len(tids))
         tid_flat.extend(tids)
     arrays = {
         "rows": index.store.rows[:n],
-        "neighbors0": np.asarray(g.neighbors0),
+        "neighbors0": np.asarray(g.neighbors0)[: n + 1],
         "upper_neighbors": np.asarray(g.upper_neighbors),
-        "upper_slot": np.asarray(g.upper_slot),
-        "levels": np.asarray(g.levels),
-        "traversable": np.asarray(g.traversable),
+        "upper_slot": np.asarray(g.upper_slot)[: n + 1],
+        "levels": np.asarray(g.levels)[: n + 1],
+        "traversable": np.asarray(g.traversable)[: n + 1],
         "tid_flat": np.array(tid_flat, dtype=np.int64),
         "tid_counts": np.array(tid_counts, dtype=np.int32),
     }
