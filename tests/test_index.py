@@ -279,8 +279,62 @@ class TestIterativeScan:
         scan = idx.scan(data[3], params)
         items = scan.take(10000)
         # caps graph expansion; only pre-computed discarded drain after
-        assert scan.stats_resumes_bounded if False else True
         assert len(items) < 1000
+
+    def test_budget_accuracy(self):
+        """043 analog: avg tuples visible through a selective filter
+        tracks max_scan_tuples * selectivity +-2 (043:35-56).
+
+        The device iterative scan emits results in exact distance order
+        and stops exactly at the budget, so the law holds tightly; the
+        host graph scan additionally drains its discarded heap after
+        the budget (scan.rs:828-841), which the reference's +-2
+        tolerance absorbs at its 100k-row scale — here the host path is
+        checked for the budget *mechanism* (no graph resumes past the
+        cap) rather than the 100k-scale statistics."""
+        rng = np.random.default_rng(43)
+        n, sel_mod, budget = 10_000, 500, 1_000
+        data = rng.random((n, 8)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="device", seed=9)
+        expected = budget / sel_mod  # 2 visible per query on average
+        counts = []
+        for b in range(10):
+            params = SearchParams(
+                ef_search=40,
+                iterative_scan="relaxed_order",
+                max_scan_tuples=budget,
+            )
+            scan = idx.scan(data[b * 7], params, method="device")
+            visible = sum(
+                1 for tid, _ in iter(scan.next, None) if tid % sel_mod == 0
+            )
+            counts.append(visible)
+        avg = float(np.mean(counts))
+        assert abs(avg - expected) <= 2.0, (avg, expected, counts)
+
+    def test_budget_stops_graph_resumes(self, filtered_setup):
+        """Host path: once `tuples` passes max_scan_tuples no further
+        graph re-entry happens — only the discarded heap drains."""
+        idx, data = filtered_setup
+        budget = 60
+        params = SearchParams(
+            ef_search=10, iterative_scan="relaxed_order",
+            max_scan_tuples=budget,
+        )
+        scan = idx.scan(data[5], params)
+        resumes_before = idx.stats["resumes"]
+        while scan.next() is not None:
+            pass
+        # every resume must have started strictly under the budget
+        assert scan.tuples >= budget  # budget was actually reached
+        resumes = idx.stats["resumes"] - resumes_before
+        # each resume returns >= 1 tuple, so resumes < budget always;
+        # the real check: after exhaustion, one more next() is None and
+        # doesn't resume again
+        r2 = idx.stats["resumes"]
+        assert scan.next() is None
+        assert idx.stats["resumes"] == r2
+        assert resumes <= budget
 
     def test_exhausts_all_tuples(self, filtered_setup):
         idx, data = filtered_setup
