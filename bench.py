@@ -77,14 +77,26 @@ def main():
         np.float32
     )
 
-    log("building index (exact-scored batched device build)...")
-    t0 = time.time()
-    index = HnswIndex.build(
-        data, metric="l2", method="device", seed=1, host_graph=False
-    )
-    build_s = time.time() - t0
-    build_rate = n / build_s
-    log(f"  build: {build_s:.1f}s = {build_rate:.0f} vectors/sec")
+    save_path = os.environ.get("PGV_BENCH_SAVE")
+    if save_path and os.path.exists(save_path):
+        log(f"loading index from {save_path}...")
+        t0 = time.time()
+        index = HnswIndex.load(save_path)
+        build_s = time.time() - t0
+        build_rate = float("nan")
+        log(f"  load: {build_s:.1f}s")
+    else:
+        log("building index (batched device build)...")
+        t0 = time.time()
+        index = HnswIndex.build(
+            data, metric="l2", method="device", seed=1, host_graph=False
+        )
+        build_s = time.time() - t0
+        build_rate = n / build_s
+        log(f"  build: {build_s:.1f}s = {build_rate:.0f} vectors/sec")
+        if save_path:
+            index.save(save_path)
+            log(f"  saved to {save_path}")
 
     # stage queries in HBM once: serving steady state measures the
     # engines, not the harness's host-device tunnel

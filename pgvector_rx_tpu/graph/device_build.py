@@ -49,6 +49,16 @@ from ..constants import hnsw_get_layer_m
 # below this corpus size exact top_k is cheap; above it use approx_min_k
 _APPROX_TOPK_MIN = 16384
 
+# committed-prefix width at which ground-layer candidate generation
+# switches from the exact MXU sweep (quadratic in N: scoring every
+# batch against the whole committed prefix) to batched beam descent
+# over the graph built so far (the classic HNSW construction search,
+# O(N log N) total). The exact sweep is faster per batch below this
+# width; the beam is asymptotically cheaper above it AND generates
+# path-diverse candidates (not just the tightest exact neighbors),
+# which the select heuristic needs for long-range navigability.
+_DESCENT_MIN_WIDTH = int(os.environ.get("PGV_BUILD_DESCENT_MIN", 131072))
+
 # batches folded into one device program dispatch (see _bucket_program).
 # The dev harness's tunnel charges ~0.5s per program dispatch no matter
 # how small, so the build runs up to this many (search+commit) batches
@@ -436,11 +446,99 @@ class DeviceBuilder:
             sids = jnp.pad(sids, ((0, 0), (0, pad)), constant_values=-1)
         return sd, sids
 
-    def _score_select_step(
-        self, data: BuildData, alive, start, size, width: int
+    def _beam_ground_candidates(
+        self, data: BuildData, neighbors0, alive, entry, q_rows, seed_d,
+        seed_ids, steps: int, expand: int,
     ):
-        """Exact-scored top-ef_construction candidates + Alg. 4
-        selection for all layers.
+        """Ground-layer candidate generation by batched beam descent.
+
+        The classic HNSW construction search (graph/mod.rs:355-427's
+        layer-0 ef_construction pass) restructured as fixed-trip
+        tensor ops over the as-built adjacency: per query keep an
+        efc-wide beam; each step expands the `expand` best unexpanded
+        members, gathers their ground neighbors, scores them (bf16
+        rows, f32 accumulate), and merges by a pair of sorts (dedup by
+        id keeps the expanded copy so beam-resident nodes are never
+        re-expanded). Seeded with the nearest committed upper-layer
+        elements (from the exact compact upper sweep — where the greedy
+        upper descent would land) plus the entry point.
+
+        Returns (cand_d, cand_ids) [B, efc] sorted nearest first.
+        """
+        W = self.efc
+        cap = self.cap
+
+        def dist_to(q, rows_f32):
+            if self.metric == "l2":
+                dlt = rows_f32 - q
+                return jnp.sum(dlt * dlt, axis=-1)
+            if self.metric == "l1":
+                return jnp.sum(jnp.abs(rows_f32 - q), axis=-1)
+            dots = jnp.sum(rows_f32 * q, axis=-1)
+            if self.metric == "ip":
+                return -dots
+            return 1.0 - jnp.clip(dots, -1.0, 1.0)
+
+        def one(q, s_d, s_ids):
+            S = s_ids.shape[0]
+            e_row = data.vectors[jnp.clip(entry, 0, cap)]
+            e_d = dist_to(q, e_row)
+            init_ids = jnp.full((W,), -1, jnp.int32)
+            init_d = jnp.full((W,), jnp.inf, jnp.float32)
+            init_exp = jnp.ones((W,), jnp.int32)
+            init_ids = init_ids.at[:S].set(s_ids).at[S].set(entry)
+            init_d = init_d.at[:S].set(s_d).at[S].set(e_d)
+            init_exp = init_exp.at[: S + 1].set(
+                jnp.where(
+                    jnp.concatenate([s_ids, entry[None]]) >= 0, 0, 1
+                )
+            )
+
+            def body(_, st):
+                bd, bids, bexp = st
+                unexp = jnp.where(bexp == 1, jnp.inf, bd)
+                _, pos = jax.lax.top_k(-unexp, expand)
+                sel_ok = jnp.isfinite(unexp[pos])
+                bexp = bexp.at[pos].set(1)
+                u = jnp.where(sel_ok, bids[pos], -1)
+                nbrs = neighbors0[jnp.clip(u, 0, cap)]  # [E, lm0]
+                nbrs = jnp.where((u >= 0)[:, None], nbrs, -1).reshape(-1)
+                safe = jnp.clip(nbrs, 0, cap)
+                ok = (nbrs >= 0) & alive[safe]
+                rows = data.vectors_bf16[safe].astype(jnp.float32)
+                d_new = jnp.where(ok, dist_to(q, rows), jnp.inf)
+                ids_new = jnp.where(ok, nbrs, -1)
+                exp_new = jnp.where(ok, 0, 1)
+
+                all_ids = jnp.concatenate([bids, ids_new])
+                all_d = jnp.concatenate([bd, d_new])
+                all_exp = jnp.concatenate([bexp, exp_new])
+                # dedup by id, preferring the expanded copy (so nodes
+                # already expanded in-beam are never re-expanded)
+                o_ids, o_nexp, o_d = jax.lax.sort(
+                    [all_ids, 1 - all_exp, all_d], num_keys=2
+                )
+                dup = jnp.concatenate(
+                    [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+                )
+                o_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
+                sd, sids, sexp = jax.lax.sort(
+                    [o_d, o_ids, 1 - o_nexp], num_keys=2
+                )
+                return sd[:W], sids[:W], sexp[:W]
+
+            bd, bids, _ = jax.lax.fori_loop(
+                0, steps, body, (init_d, init_ids, init_exp)
+            )
+            return bd, bids
+
+        return jax.vmap(one)(q_rows, seed_d, seed_ids)
+
+    def _score_select_step(
+        self, data: BuildData, arrays: BuildArrays, start, size, width: int
+    ):
+        """Top-ef_construction candidate generation + Alg. 4 selection
+        for all layers.
 
         ``count``: elements inserted before this batch (traced scalar) —
         only rows < count that are alive (not duplicate-folded) are
@@ -452,18 +550,24 @@ class DeviceBuilder:
         cluster in a small prefix of a much wider row (this silently
         wrecked graph quality at the million-row scale). Within the
         bucket, valid entries span the row, so the approximate top-k's
-        recall target holds. Layer 0 uses approx_min_k above
-        _APPROX_TOPK_MIN rows (TPU's approximate top-k runs ~10x faster
-        than exact sort-based top-k and the Alg. 4 heuristic is
-        insensitive to 1-2% candidate recall loss). Upper layers score
-        against the compact upper matrix (the ~N/m rows with
-        level >= 1), mirroring the descent's reachability rule.
-        Selection always runs at lm0 width; the first-m prefix equals
-        the lm=m selection (the Alg. 4 keep sequence is prefix-stable
-        in lm), so upper layers just truncate.
+        recall target holds.
+
+        Ground-layer candidates come from the exact MXU sweep below
+        _DESCENT_MIN_WIDTH (approx_min_k above _APPROX_TOPK_MIN rows)
+        and from batched beam descent over the as-built graph above it
+        (see _beam_ground_candidates) — the exact sweep is quadratic in
+        N, the descent is the reference's own construction search
+        (graph/mod.rs:355-427) and supplies path-diverse candidates.
+        Upper layers always score against the compact upper matrix
+        (the ~N/m rows with level >= 1), mirroring the descent's
+        reachability rule. Selection always runs at lm0 width; the
+        first-m prefix equals the lm=m selection (the Alg. 4 keep
+        sequence is prefix-stable in lm), so upper layers just
+        truncate.
 
         Returns sel_d, sel_ids [B, LMAX+1, lm0] (layer 0 = ground).
         """
+        alive = arrays.alive
         B = self.batch_max
         iota_b = jnp.arange(B, dtype=jnp.int32)
         batch_mask = iota_b < size
@@ -473,40 +577,10 @@ class DeviceBuilder:
         q_rows = data.vectors[safe_ids]  # [B, D]
         my_level = data.levels[safe_ids]  # [B]
 
-        # ---- layer 0: sweep over the committed prefix bucket, in
-        # query chunks so the [chunk, width] score matrix stays ~4GB
-        # regardless of batch size (invalid batch rows produce junk
-        # candidates that the act/alive masks downstream discard)
-        kk = min(self.efc, width)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-        col_valid = (pos < count) & alive[None, :width]
-
-        def score_chunk(q_chunk):
-            scores = self._score_all(
-                data, q_chunk, data.vectors[:width], data.x2[:width]
-            )
-            scores = jnp.where(col_valid, scores, jnp.inf)
-            if width >= _APPROX_TOPK_MIN:
-                d, i = jax.lax.approx_min_k(scores, kk, recall_target=0.98)
-            else:
-                neg, i = jax.lax.top_k(-scores, kk)
-                d = -neg
-            return d, i
-
-        CHQ = min(1024, B)
-        if B % CHQ == 0 and B > CHQ:
-            cd_c, ci_c = jax.lax.map(
-                score_chunk, q_rows.reshape(-1, CHQ, self.dim)
-            )
-            cand_d = cd_c.reshape(B, kk)
-            cand_idx = ci_c.reshape(B, kk)
-        else:
-            cand_d, cand_idx = score_chunk(q_rows)
-        sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
-
-        # ---- upper layers: compact sweep over level>=1 rows (~N/m of
-        # the corpus; slot order is shuffled, so committed/level-mask
-        # validity is uniformly spread across each score row)
+        # ---- upper layers first: compact sweep over level>=1 rows
+        # (~N/m of the corpus; slot order is shuffled, so committed /
+        # level-mask validity is uniformly spread across each score
+        # row). Also provides the beam descent's seeds.
         u_scores = self._score_all(
             data, q_rows, data.upper_vectors, data.upper_x2
         )  # [B, upper_pad]
@@ -517,6 +591,56 @@ class DeviceBuilder:
         ][None, :]
         u_scores = jnp.where(u_valid & batch_mask[:, None], u_scores, jnp.inf)
         kku = min(self.efc, width_u)
+
+        # ---- layer 0 candidates
+        kk = min(self.efc, width)
+        if width < _DESCENT_MIN_WIDTH:
+            # exact sweep over the committed prefix bucket, in query
+            # chunks so the [chunk, width] score matrix stays bounded
+            # regardless of batch size (invalid batch rows produce junk
+            # candidates that the act/alive masks downstream discard)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+            col_valid = (pos < count) & alive[None, :width]
+
+            def score_chunk(q_chunk):
+                scores = self._score_all(
+                    data, q_chunk, data.vectors[:width], data.x2[:width]
+                )
+                scores = jnp.where(col_valid, scores, jnp.inf)
+                if width >= _APPROX_TOPK_MIN:
+                    d, i = jax.lax.approx_min_k(
+                        scores, kk, recall_target=0.98
+                    )
+                else:
+                    neg, i = jax.lax.top_k(-scores, kk)
+                    d = -neg
+                return d, i
+
+            CHQ = min(1024, B)
+            if B % CHQ == 0 and B > CHQ:
+                cd_c, ci_c = jax.lax.map(
+                    score_chunk, q_rows.reshape(-1, CHQ, self.dim)
+                )
+                cand_d = cd_c.reshape(B, kk)
+                cand_idx = ci_c.reshape(B, kk)
+            else:
+                cand_d, cand_idx = score_chunk(q_rows)
+        else:
+            # beam descent seeded with the nearest committed upper rows
+            S = min(16, width_u - 1, self.efc)
+            neg_sd, seed_slots = jax.lax.top_k(-u_scores, S)
+            seed_ids = u_ids[seed_slots]
+            seed_d = jnp.where(jnp.isfinite(neg_sd), -neg_sd, jnp.inf)
+            seed_ids = jnp.where(jnp.isfinite(neg_sd), seed_ids, -1)
+            steps = int(os.environ.get("PGV_BUILD_BEAM_STEPS", 0)) or (
+                24 + 2 * int(math.log2(width))
+            )
+            expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
+            cand_d, cand_idx = self._beam_ground_candidates(
+                data, arrays.neighbors0, alive, arrays.entry, q_rows,
+                seed_d, seed_ids, steps, expand,
+            )
+        sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
 
         def per_upper_layer(lmask):
             s_l = jnp.where(lmask[None, :], u_scores, jnp.inf)
@@ -580,9 +704,20 @@ class DeviceBuilder:
         new_ids = jnp.where(mask, start + iota_b, dump)
 
         # ---- duplicate folding
+        # The reference folds candidates that are zero-distance AND
+        # byte-equal (build.rs:474-510). For l2/cosine/l1, byte-equal
+        # <=> exact distance 0, so the byte comparison alone is the
+        # reference rule stated robustly (the scored sel_d can be a
+        # rounding epsilon above 0 under the matmul identity / bf16
+        # beam scoring). For ip, distance is -dot, which is 0 for
+        # byte-equal rows only when the row itself is zero — so ip
+        # folding additionally requires ||q||^2 == 0.
         q_rows = data.vectors[jnp.clip(new_ids, 0, dump)]
         cand = sel_ids[:, 0, :]
-        zero = (sel_d[:, 0, :] == 0.0) & (cand >= 0)
+        zero = cand >= 0
+        if self.metric == "ip":
+            qz = data.x2[jnp.clip(new_ids, 0, dump)] == 0.0  # [B]
+            zero = zero & qz[:, None]
         cand_rows = data.vectors[jnp.clip(cand, 0, dump)]  # [B, lm0, D]
         eq = jnp.all(cand_rows == q_rows[:, None, :], axis=-1) & zero
         tc = arrays.tid_counts[jnp.clip(cand, 0, dump)]
@@ -843,9 +978,7 @@ class DeviceBuilder:
         def body(i, arr):
             s = starts[i]
             z = sizes[i]
-            sel_d, sel_ids = self._score_select_step(
-                data, arr.alive, s, z, width
-            )
+            sel_d, sel_ids = self._score_select_step(data, arr, s, z, width)
             return self._commit_all_step(data, arr, s, z, sel_d, sel_ids)
 
         return jax.lax.fori_loop(0, nb, body, arrays)
@@ -883,7 +1016,9 @@ class DeviceBuilder:
                 groups[-1][1].append((start, size))
             else:
                 groups.append((w, [(start, size)]))
+        timing = os.environ.get("PGV_BUILD_TIMING")
         for w, batches in groups:
+            t0 = time.time()
             starts = np.zeros(NB, np.int32)
             sizes = np.zeros(NB, np.int32)
             for i, (s, z) in enumerate(batches):
@@ -897,6 +1032,16 @@ class DeviceBuilder:
                 jnp.int32(len(batches)),
                 width=w,
             )
+            if timing:
+                jax.block_until_ready(self.arrays)
+                n_el = sum(z for _, z in batches)
+                dt = time.time() - t0
+                print(
+                    f"[build] group w={w} batches={len(batches)} "
+                    f"elems={n_el} {dt:.2f}s ({n_el/max(dt,1e-9):.0f}/s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
 
     def run_batch(self, start: int, size: int) -> None:
         """Insert elements [start, start+size) — one dispatch per phase
@@ -908,7 +1053,7 @@ class DeviceBuilder:
         jstart = jnp.int32(start)
         jsize = jnp.int32(size)
         sel_d, sel_ids = self._search_jit(
-            self.data, self.arrays.alive, jstart, jsize, width=width
+            self.data, self.arrays, jstart, jsize, width=width
         )
         if debug:
             jax.block_until_ready((sel_d, sel_ids))

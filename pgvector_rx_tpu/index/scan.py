@@ -96,8 +96,10 @@ def resume_scan_items(
 class HnswScan:
     """A resumable scan over one query (amgettuple analog).
 
-    Yields (heap_tid, order_distance) pairs via :meth:`next`, or None
-    when exhausted. The visited set and discarded heap persist across
+    Yields (heap_tid, operator_distance) pairs via :meth:`next` (l2
+    order distances are converted from squared form at emission, so
+    every scan engine emits the same distance domain), or None when
+    exhausted. The visited set and discarded heap persist across
     resume re-entries — the reference's checkpoint/resume object
     (SURVEY.md §5 "Checkpoint / resume").
     """
@@ -154,10 +156,11 @@ class HnswScan:
         self.first = False
 
     def next(self) -> Optional[tuple]:
-        """Next (heap_tid, order_distance) or None."""
+        """Next (heap_tid, operator_distance) or None."""
         if self.first:
             self._run_first()
 
+        sqrt_out = self.index.metric == "l2"
         strict = self.params.iterative_scan == HNSW_ITERATIVE_SCAN_STRICT
         while True:
             if self._current is not None:
@@ -168,6 +171,8 @@ class HnswScan:
                         if dist < self.previous_distance:
                             continue
                         self.previous_distance = dist
+                    if sqrt_out:
+                        return tid, float(np.sqrt(max(dist, 0.0)))
                     return tid, dist
                 self._current = None
 
@@ -323,20 +328,21 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
         from ..graph import device as device_mod
 
         dists, ids = device_mod.search(index, qlist, k, params, engine=engine)
+        # order-distance -> operator-distance (l2: sqrt; others same)
+        if index.metric == "l2":
+            dists = np.where(
+                np.isfinite(dists), np.sqrt(np.maximum(dists, 0.0)), dists
+            )
     else:
         B = len(qlist)
         dists = np.full((B, k), np.inf, dtype=np.float64)
         ids = np.full((B, k), -1, dtype=np.int64)
         for b, q in enumerate(qlist):
             scan = HnswScan(index, q, params)
+            # HnswScan already emits operator-domain distances
             for j, (tid, d) in enumerate(scan.take(k)):
                 dists[b, j] = d
                 ids[b, j] = tid
-
-    # order-distance -> operator-distance (l2: sqrt; others identical),
-    # kept jax-free on the host path
-    if index.metric == "l2":
-        dists = np.where(np.isfinite(dists), np.sqrt(np.maximum(dists, 0.0)), dists)
     if single:
         return dists[0], ids[0]
     return dists, ids

@@ -102,6 +102,22 @@ class ShardedHnswIndex:
     def num_tuples(self) -> int:
         return sum(s.num_tuples for s in self.shards)
 
+    # -- iterative scan -------------------------------------------------------
+
+    def scan(self, query, params: SearchParams | None = None):
+        """Sharded resumable scan (BASELINE's 100M iterative config).
+
+        Each shard contributes its own exactly-ordered result stream
+        (DeviceScan when serving-only, HnswScan otherwise); a k-way
+        heap merge yields one globally ordered stream, so
+        relaxed_order and strict_order coincide — the merged stream is
+        already in true distance order. max_scan_tuples caps the
+        MERGED stream (the per-shard scans inherit the same params, so
+        each shard also never scans past the global budget).
+        """
+        params = params or SearchParams()
+        return ShardedScan(self, query, params)
+
     # -- stacked device arrays ----------------------------------------------
 
     def _stack(self):
@@ -213,6 +229,49 @@ class ShardedHnswIndex:
         if single:
             return d[0], tids[0]
         return d, tids
+
+
+class ShardedScan:
+    """K-way merge of per-shard resumable scans into one globally
+    ordered stream (iterative-scan analog for the sharded index)."""
+
+    def __init__(self, index: ShardedHnswIndex, query, params: SearchParams):
+        import heapq
+
+        self._heapq = heapq
+        self.params = params
+        self._emitted = 0
+        # per-shard scans; "auto" picks DeviceScan for serving-only
+        # shards (exactly ordered) and HnswScan otherwise
+        self._scans = [s.scan(query, params) for s in index.shards]
+        self._heap: list = []
+        for i, sc in enumerate(self._scans):
+            item = sc.next()
+            if item is not None:
+                tid, d = item
+                # every scan engine emits operator-domain distances,
+                # so the heap merge is domain-consistent
+                heapq.heappush(self._heap, (d, tid, i))
+
+    def next(self):
+        """Next (heap_tid, distance) in global distance order, or None."""
+        if self._emitted >= self.params.max_scan_tuples or not self._heap:
+            return None
+        d, tid, i = self._heapq.heappop(self._heap)
+        nxt = self._scans[i].next()
+        if nxt is not None:
+            self._heapq.heappush(self._heap, (nxt[1], nxt[0], i))
+        self._emitted += 1
+        return tid, d
+
+    def take(self, k: int) -> list[tuple]:
+        out = []
+        while len(out) < k:
+            item = self.next()
+            if item is None:
+                break
+            out.append(item)
+        return out
 
 
 @functools.lru_cache(maxsize=32)

@@ -85,3 +85,40 @@ def test_sharded_exact_engine():
     d, tids = idx.search(q, 5, SearchParams(ef_search=16), engine="exact")
     assert (tids[:, 0] == np.arange(32)).all()
     np.testing.assert_allclose(d[:, 0], 0.0, atol=5e-3)
+
+
+class TestShardedScan:
+    """Iterative-scan analog for the sharded index (BASELINE's 100M
+    relaxed_order config, exercised at test scale on the CPU mesh)."""
+
+    def test_global_order_and_exactness(self, sharded_setup):
+        idx, data = sharded_setup
+        q = data[5]
+        scan = idx.scan(q, SearchParams(ef_search=20,
+                                        iterative_scan="relaxed_order"))
+        items = scan.take(50)
+        dists = [d for _, d in items]
+        assert dists == sorted(dists)  # k-way merge keeps global order
+        # stream head matches batch search
+        d_ref, t_ref = idx.search(q, 10, SearchParams(ef_search=40))
+        assert [t for t, _ in items[:5]] == list(t_ref[:5])
+
+    def test_max_scan_tuples_caps_merged_stream(self, sharded_setup):
+        idx, data = sharded_setup
+        scan = idx.scan(
+            data[9],
+            SearchParams(ef_search=20, iterative_scan="relaxed_order",
+                         max_scan_tuples=25),
+        )
+        assert len(scan.take(10_000)) == 25
+
+    def test_exhausts_everything(self, sharded_setup):
+        idx, data = sharded_setup
+        scan = idx.scan(
+            data[2],
+            SearchParams(ef_search=30, iterative_scan="relaxed_order",
+                         max_scan_tuples=10_000),
+        )
+        items = scan.take(10**6)
+        assert len(items) == idx.num_tuples
+        assert len({t for t, _ in items}) == idx.num_tuples  # exactly-once
