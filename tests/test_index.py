@@ -128,6 +128,27 @@ class TestInsertRecall:
         _, ids = idx.search(queries, 10, SearchParams(ef_search=40), method="host")
         assert recall_at_k(ids, gt, 10) >= 0.99
 
+    def test_inserted_rows_all_reachable(self):
+        """016_hnsw_inserts analog: every inserted row must stay
+        reachable through the graph (the reference tolerates >=997/1000
+        under 20-client races, 016:63-70; our batched-deterministic
+        insert path must not lose any)."""
+        rng = np.random.default_rng(16)
+        base = rng.random((200, 8)).astype(np.float32)
+        idx = HnswIndex.build(base, metric="l2", method="host", seed=4)
+        for i in range(1000):
+            idx.insert(rng.random(8).astype(np.float32), 200 + i)
+        scan = idx.scan(
+            base[0],
+            SearchParams(
+                ef_search=40,
+                iterative_scan="relaxed_order",
+                max_scan_tuples=10**6,
+            ),
+        )
+        seen = {tid for tid, _ in iter(scan.next, None)}
+        assert len(seen) == 1200
+
     def test_entry_promotion(self):
         idx = HnswIndex(4, metric="l2", seed=0)
         rng = np.random.default_rng(0)
