@@ -289,6 +289,7 @@ class DeviceBuilder:
         self.dim = vectors.shape[1]
         self.batch_max = batch_max
         self.lm0 = hnsw_get_layer_m(m, 0)
+        self.descent_min = _DESCENT_MIN_WIDTH
 
         # Every array dimension is padded to a size bucket (1/8-octave
         # granularity, i.e. next_pow2 rounded down to 8 steps per
@@ -593,21 +594,29 @@ class DeviceBuilder:
         kku = min(self.efc, width_u)
 
         # ---- layer 0 candidates
-        kk = min(self.efc, width)
-        if width < _DESCENT_MIN_WIDTH:
+        if width != 0:
             # exact sweep over the committed prefix bucket, in query
             # chunks so the [chunk, width] score matrix stays bounded
             # regardless of batch size (invalid batch rows produce junk
             # candidates that the act/alive masks downstream discard)
+            kk = min(self.efc, width)
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
             col_valid = (pos < count) & alive[None, :width]
+            # approx_min_k's positional block reduction needs the valid
+            # entries spread across at least ~half the row; that holds
+            # for the doubling buckets of small corpora but NOT for the
+            # fixed exact-floor bucket of large corpora (whose early
+            # batches fill only a prefix), so the fixed floor selects
+            # with exact top_k
+            fixed_floor = self.cap + 1 > self.descent_min
+            use_approx = width >= _APPROX_TOPK_MIN and not fixed_floor
 
             def score_chunk(q_chunk):
                 scores = self._score_all(
                     data, q_chunk, data.vectors[:width], data.x2[:width]
                 )
                 scores = jnp.where(col_valid, scores, jnp.inf)
-                if width >= _APPROX_TOPK_MIN:
+                if use_approx:
                     d, i = jax.lax.approx_min_k(
                         scores, kk, recall_target=0.98
                     )
@@ -626,14 +635,17 @@ class DeviceBuilder:
             else:
                 cand_d, cand_idx = score_chunk(q_rows)
         else:
-            # beam descent seeded with the nearest committed upper rows
+            # descent regime (width sentinel 0 — ONE program serves all
+            # batch positions past the exact floor): beam descent over
+            # the as-built graph, seeded with the nearest committed
+            # upper rows
             S = min(16, width_u - 1, self.efc)
             neg_sd, seed_slots = jax.lax.top_k(-u_scores, S)
             seed_ids = u_ids[seed_slots]
             seed_d = jnp.where(jnp.isfinite(neg_sd), -neg_sd, jnp.inf)
             seed_ids = jnp.where(jnp.isfinite(neg_sd), seed_ids, -1)
             steps = int(os.environ.get("PGV_BUILD_BEAM_STEPS", 0)) or (
-                24 + 2 * int(math.log2(width))
+                24 + 2 * int(math.log2(self.cap + 1))
             )
             expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
             cand_d, cand_idx = self._beam_ground_candidates(
@@ -994,11 +1006,23 @@ class DeviceBuilder:
         )
 
     def _width_for(self, start: int) -> int:
-        """Static scored-prefix bucket for a batch starting at `start`."""
+        """Static scored-prefix bucket for a batch starting at `start`.
+
+        Large corpora compile exactly TWO ground-candidate programs:
+        the fixed exact floor (width = descent_min, plain top_k) for
+        batches below the descent threshold and the width-independent
+        descent program (sentinel 0) above it — XLA compile time, not
+        device time, dominates the cold-start build otherwise. Small
+        corpora (cap+1 <= descent_min) keep doubling buckets so tests
+        and small builds compile small fast programs.
+        """
+        cap1 = self.cap + 1
+        if cap1 > self.descent_min:
+            return 0 if start + 1 > self.descent_min else self.descent_min
         width = 4096
-        while width < min(start + 1, self.cap + 1):
+        while width < min(start + 1, cap1):
             width *= 2
-        return min(width, self.cap + 1)
+        return min(width, cap1)
 
     def run_all(self, schedule) -> None:
         """Run the whole batch schedule, folding consecutive same-bucket
