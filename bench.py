@@ -37,12 +37,54 @@ def log(*a):
 
 
 def make_sift_like(n, d, seed=0, n_clusters=1000):
-    """Clustered synthetic data approximating SIFT's local structure."""
+    """Pathological variant: well-separated full-rank Gaussian balls.
+
+    Kept for robustness experiments (PGV_BENCH_DATA=hard). This is NOT
+    SIFT-like difficulty: cluster separation is ~5.7x the cluster
+    radius (graph descent gets one shot at picking the right basin and
+    cannot recover below it), and within a ball the points are iid
+    128-d Gaussian — distance concentration leaves no local structure
+    for ANY graph-ANN method to exploit. Real SIFT has intrinsic
+    dimensionality ~12-16 and continuous density.
+    """
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4.0
     assign = rng.integers(0, n_clusters, size=n)
     data = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
     return data.astype(np.float32)
+
+
+def make_dataset(n, d, n_q, seed=0, n_clusters=1000, intrinsic=16):
+    """SIFT-like synthetic corpus + queries (the bench default).
+
+    Matches the two properties that make SIFT1M tractable for graph
+    ANN: LOW INTRINSIC DIMENSIONALITY (points live near a random
+    `intrinsic`-dim linear manifold — SIFT's is ~12-16) and
+    OVERLAPPING cluster structure (latent centers at ~1.4x the cluster
+    radius: non-uniform density but no isolated basins). Queries are
+    latent-space perturbations of database points, like SIFT's query
+    set being descriptors of the same scene distribution.
+    """
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((intrinsic, d)).astype(np.float32)
+    proj /= np.sqrt(intrinsic)
+    centers_z = rng.standard_normal((n_clusters, intrinsic)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    z = centers_z[assign] + rng.standard_normal((n, intrinsic)).astype(
+        np.float32
+    )
+    data = z @ proj
+    data += 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+
+    qrng = np.random.default_rng(seed + 99)
+    qsel = qrng.integers(0, n, size=n_q)
+    qz = z[qsel] + 0.3 * qrng.standard_normal((n_q, intrinsic)).astype(
+        np.float32
+    )
+    queries = qz @ proj + 0.05 * qrng.standard_normal((n_q, d)).astype(
+        np.float32
+    )
+    return data.astype(np.float32), queries.astype(np.float32)
 
 
 def main():
@@ -70,12 +112,16 @@ def main():
     from pgvector_rx_tpu.index.hnsw import HnswIndex
 
     log(f"generating {n}x{dim} SIFT-like data...")
-    data = make_sift_like(n, dim)
-    rng = np.random.default_rng(99)
-    qsel = rng.integers(0, n, size=n_q)
-    queries = data[qsel] + 0.3 * rng.standard_normal((n_q, dim)).astype(
-        np.float32
-    )
+    if os.environ.get("PGV_BENCH_DATA") == "hard":
+        # pathological separated-ball variant (robustness experiments)
+        data = make_sift_like(n, dim)
+        rng = np.random.default_rng(99)
+        qsel = rng.integers(0, n, size=n_q)
+        queries = data[qsel] + 0.3 * rng.standard_normal(
+            (n_q, dim)
+        ).astype(np.float32)
+    else:
+        data, queries = make_dataset(n, dim, n_q)
 
     save_path = os.environ.get("PGV_BENCH_SAVE")
     if save_path and os.path.exists(save_path):

@@ -279,6 +279,25 @@ def _ground_beam(
     max_steps: int,
     expand: int = 1,
 ):
+    """Beam search at layer 0 from one entry (single query; vmapped).
+
+    expand=1 reproduces the reference's Algorithm 2 expansion order
+    exactly (graph/mod.rs:186-192); see :func:`_ground_beam_seeds`.
+    """
+    return _ground_beam_seeds(
+        g, q, entry_id[None], entry_dist[None], ef, max_steps, expand
+    )
+
+
+def _ground_beam_seeds(
+    g: DeviceGraph,
+    q,
+    seed_ids,  # [S] int32, -1 = unused slot
+    seed_d,  # [S] f32
+    ef: int,
+    max_steps: int,
+    expand: int = 1,
+):
     """Beam search at layer 0 with beam size ef (single query; vmapped).
 
     ``expand`` > 1 pops the E best unexpanded candidates per step
@@ -286,15 +305,27 @@ def _ground_beam(
     cost of occasionally expanding a candidate strict best-first would
     have skipped — recall-neutral in practice and much faster on TPU,
     where the loop itself (not the expansion work) is the bottleneck.
-    expand=1 reproduces the reference's Algorithm 2 expansion order
-    exactly (graph/mod.rs:186-192).
+
+    Multiple seeds (coarse-seeded serving) occupy the first S beam
+    slots; invalid seeds (-1) are inert.
 
     Returns (beam_d [ef], beam_ids [ef]) sorted nearest first + steps.
     """
-    beam_d = jnp.full((ef,), jnp.inf, dtype=jnp.float32).at[0].set(entry_dist)
-    beam_ids = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(entry_id)
-    beam_exp = jnp.ones((ef,), dtype=jnp.int32).at[0].set(0)  # 1 = expanded/pad
-    visited = jnp.zeros((g.cap + 1,), dtype=jnp.bool_).at[entry_id].set(True)
+    S = seed_ids.shape[0]
+    ok = seed_ids >= 0
+    seed_d = jnp.where(ok, seed_d, jnp.inf)
+    beam_d = jnp.full((ef,), jnp.inf, dtype=jnp.float32).at[:S].set(seed_d)
+    beam_ids = jnp.full((ef,), -1, dtype=jnp.int32).at[:S].set(
+        jnp.where(ok, seed_ids, -1)
+    )
+    beam_exp = (
+        jnp.ones((ef,), dtype=jnp.int32)
+        .at[:S]
+        .set(jnp.where(ok, 0, 1))
+    )  # 1 = expanded/pad
+    visited = jnp.zeros((g.cap + 1,), dtype=jnp.bool_).at[
+        jnp.where(ok, seed_ids, g.cap)
+    ].set(ok)
 
     def cond(state):
         beam_d, beam_ids, beam_exp, visited, steps = state
@@ -370,6 +401,113 @@ def _search_batch(
         return _ground_beam(g, q, cur, cur_d, ef, max_steps, expand)
 
     return jax.vmap(one)(queries)
+
+
+def upper_row_arrays(g: DeviceGraph):
+    """(ids [U_pad] int32, rows [U_pad, D] bf16) of the level>=1
+    elements, computed once per DeviceGraph and cached on the object
+    (coarse seeding for the beam engine; dense kinds only).
+
+    Pad slots use id = cap (masked by callers via traversable / id
+    comparisons). The cache attribute lives outside the dataclass
+    fields so pytree flatten/unflatten ignores it; callers reach this
+    through index.device_graph(), which returns the cached object.
+    """
+    cache = getattr(g, "_upper_cache", None)
+    if cache is not None:
+        return cache
+    slot = np.asarray(g.upper_slot)[: g.cap]
+    ids = np.nonzero(slot >= 0)[0].astype(np.int32)
+    u_pad = max(128, 1 << int(max(len(ids), 1) - 1).bit_length())
+    pad_ids = np.full(u_pad, g.cap, np.int32)
+    pad_ids[: len(ids)] = ids
+    ids_j = jnp.asarray(pad_ids)
+    src = g.values_bf16 if g.values_bf16 is not None else g.values
+    rows = src[ids_j]  # device gather, one-time
+    g._upper_cache = (ids_j, rows, len(ids))
+    return g._upper_cache
+
+
+def _coarse_upper(g: DeviceGraph):
+    """(upper_ids, upper_rows) when coarse seeding applies, else None."""
+    if g.kind != "dense" or os.environ.get("PGV_BEAM_SEED") == "descent":
+        return None
+    ids, rows, count = upper_row_arrays(g)
+    # too few upper elements for the sweep to beat plain descent (and
+    # an empty set would leave the beam seedless)
+    if count < 8:
+        return None
+    return ids, rows
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "max_steps", "expand", "n_seeds")
+)
+def _search_batch_coarse(
+    g: DeviceGraph,
+    queries,
+    upper_ids,  # [U_pad] int32 (pad = cap)
+    upper_rows,  # [U_pad, D] bf16
+    ef: int,
+    max_steps: int,
+    expand: int = 4,
+    n_seeds: int = 8,
+):
+    """Coarse-exact seeded beam: ONE bf16 MXU sweep over the ~N/m
+    level>=1 rows replaces the greedy upper-layer descent, then the
+    ground beam refines from the n_seeds nearest upper elements.
+
+    TPU-native two-level serving: the upper descent's pointer chase is
+    latency-bound and, on clustered data, can land in the wrong basin
+    with no way to recover below (measured 29% of queries at 1M on
+    separated clusters); the coarse sweep costs ~N/m * D MACs per
+    query on the MXU and always lands in the right region. The graph
+    layers 1..L still exist for the parity path; this engine just
+    seeds layer 0 better than Algorithm 5's ef=1 descent.
+    """
+    U = upper_rows.shape[0]
+    dots = jax.lax.dot_general(
+        queries.astype(jnp.bfloat16),
+        upper_rows,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, U]
+    if g.metric == "l2":
+        x2 = jnp.sum(
+            upper_rows.astype(jnp.float32) * upper_rows.astype(jnp.float32),
+            axis=1,
+        )
+        q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+        scores = jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
+    elif g.metric == "ip":
+        scores = -dots
+    elif g.metric == "cosine":
+        scores = 1.0 - jnp.clip(dots, -1.0, 1.0)
+    else:  # l1 coarse scoring via direct differences (U is small)
+        scores = jnp.sum(
+            jnp.abs(
+                queries[:, None, :]
+                - upper_rows.astype(jnp.float32)[None, :, :]
+            ),
+            axis=-1,
+        )
+    valid = (upper_ids < g.cap) & g.traversable[jnp.clip(upper_ids, 0, g.cap)]
+    scores = jnp.where(valid[None, :], scores, jnp.inf)
+    S = min(n_seeds, U)
+    if U >= 16384:
+        seed_d, slots = jax.lax.approx_min_k(scores, S, recall_target=0.99)
+    else:
+        neg, slots = jax.lax.top_k(-scores, S)
+        seed_d = -neg
+    seed_ids = jnp.where(jnp.isfinite(seed_d), upper_ids[slots], -1)
+
+    def one(q, s_ids):
+        # recompute seed distances exactly (f32) — the bf16 coarse
+        # scores are for ranking only and must not leak into results
+        s_d = _dist_ids(g, q, jnp.clip(s_ids, 0, g.cap))
+        return _ground_beam_seeds(g, q, s_ids, s_d, ef, max_steps, expand)
+
+    return jax.vmap(one)(queries, seed_ids)
 
 
 jax.tree_util.register_pytree_node(
@@ -573,6 +711,7 @@ def _serve_sweep(
     entry_level: int = 0,
     max_steps: int = 192,
     expand: int = 4,
+    upper=None,
 ):
     """Top-k for a whole staged query matrix in ONE device program.
 
@@ -587,9 +726,14 @@ def _serve_sweep(
 
     def one(qc):
         if engine == "beam":
-            d, ids, _ = _search_batch(
-                g, qc, ef, entry_level, max_steps, expand
-            )
+            if upper is not None:
+                d, ids, _ = _search_batch_coarse(
+                    g, qc, upper[0], upper[1], ef, max_steps, expand
+                )
+            else:
+                d, ids, _ = _search_batch(
+                    g, qc, ef, entry_level, max_steps, expand
+                )
             return d[:, :k], ids[:, :k]
         return _exact_search_batch(g, qc, k, approx=engine == "approx")
 
@@ -622,6 +766,7 @@ def serve_topk(index, queries_dev, k: int, engine: str = "approx",
         ef=ef_eff, entry_level=g.entry_level,
         max_steps=4 * ef_eff + 32,
         expand=int(os.environ.get("PGV_BEAM_EXPAND", 4)),
+        upper=_coarse_upper(g) if engine == "beam" else None,
     )
     return np.asarray(d)[:B], np.asarray(ids)[:B]
 
@@ -732,9 +877,15 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
             lambda qi, qv: _search_one_sparse(g, (qi, qv), ef, max_steps)
         )(qtuple[0], qtuple[1])
     else:
-        beam_d, beam_ids, _ = _search_batch(
-            g, queries, ef, g.entry_level, max_steps, expand
-        )
+        upper = _coarse_upper(g)
+        if upper is not None:
+            beam_d, beam_ids, _ = _search_batch_coarse(
+                g, queries, upper[0], upper[1], ef, max_steps, expand
+            )
+        else:
+            beam_d, beam_ids, _ = _search_batch(
+                g, queries, ef, g.entry_level, max_steps, expand
+            )
     beam_d = np.asarray(beam_d, dtype=np.float64)
     beam_ids = np.asarray(beam_ids)
 

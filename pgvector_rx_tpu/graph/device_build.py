@@ -285,6 +285,18 @@ class DeviceBuilder:
             self.alpha_eff = 1.0
         else:
             self.alpha_eff = alpha
+        # Upper-layer RobustPrune alpha (experimental, default OFF):
+        # alpha > 1 keeps medium-range edges, but measured at 1M it
+        # DEGRADES recall (0.58 vs 0.74 at ef=40) — the m routing slots
+        # lose local precision faster than they gain reach. Greedy ef=1
+        # descent needs precise near edges more than long ones.
+        a_up = float(os.environ.get("PGV_BUILD_ALPHA_UPPER", 1.0))
+        if metric == "l2":
+            self.alpha_upper = a_up * a_up
+        elif metric == "ip":
+            self.alpha_upper = 1.0
+        else:
+            self.alpha_upper = a_up
         self.n = n = vectors.shape[0]
         self.dim = vectors.shape[1]
         self.batch_max = batch_max
@@ -427,7 +439,8 @@ class DeviceBuilder:
             :, :n_rows
         ]
 
-    def _candidates_to_selection(self, data, cand_d, cand_idx):
+    def _candidates_to_selection(self, data, cand_d, cand_idx,
+                                 alpha: float | None = None):
         """Alg. 4 selection over sorted candidates; pads to lm0 width."""
         cand_idx = jnp.where(jnp.isfinite(cand_d), cand_idx, -1)
         rows16 = data.vectors_bf16 if self.metric != "l1" else data.vectors
@@ -439,7 +452,8 @@ class DeviceBuilder:
             pair,
         )
         sd, sids = _select_neighbors_parallel(
-            cand_d, cand_idx, pair, self.lm0, self.alpha_eff
+            cand_d, cand_idx, pair, self.lm0,
+            self.alpha_eff if alpha is None else alpha,
         )
         pad = self.lm0 - sd.shape[1]
         if pad > 0:  # tiny corpus: fewer candidates than lm0
@@ -603,13 +617,10 @@ class DeviceBuilder:
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
             col_valid = (pos < count) & alive[None, :width]
             # approx_min_k's positional block reduction needs the valid
-            # entries spread across at least ~half the row; that holds
-            # for the doubling buckets of small corpora but NOT for the
-            # fixed exact-floor bucket of large corpora (whose early
-            # batches fill only a prefix), so the fixed floor selects
-            # with exact top_k
-            fixed_floor = self.cap + 1 > self.descent_min
-            use_approx = width >= _APPROX_TOPK_MIN and not fixed_floor
+            # entries spread across at least ~half the row, which the
+            # doubling buckets guarantee (count >= width/2); exact
+            # top_k over wide rows is 5-10x slower, so approx matters
+            use_approx = width >= _APPROX_TOPK_MIN
 
             def score_chunk(q_chunk):
                 scores = self._score_all(
@@ -654,17 +665,38 @@ class DeviceBuilder:
             )
         sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
 
+        # stratified upper candidate pool (experimental, default OFF —
+        # measured to hurt at 1M together with alpha_upper): the kku
+        # nearest PLUS a strided sample of the next ~3*kku ranks.
+        stratify = int(os.environ.get("PGV_BUILD_UPPER_STRATIFY", 0))
+        pool = min(4 * kku, width_u) if stratify else kku
+        extra = min(kku // 2, pool - kku) if pool > kku else 0
+
         def per_upper_layer(lmask):
             s_l = jnp.where(lmask[None, :], u_scores, jnp.inf)
             if width_u >= _APPROX_TOPK_MIN:
-                d_l, slot_idx = jax.lax.approx_min_k(
-                    s_l, kku, recall_target=0.98
+                d_p, slot_p = jax.lax.approx_min_k(
+                    s_l, pool, recall_target=0.98
                 )
             else:
-                neg_d, slot_idx = jax.lax.top_k(-s_l, kku)
-                d_l = -neg_d
+                neg_d, slot_p = jax.lax.top_k(-s_l, pool)
+                d_p = -neg_d
+            if extra > 0:
+                stride = max((pool - kku) // extra, 1)
+                take = np.concatenate(
+                    [
+                        np.arange(kku),
+                        kku + stride * np.arange(extra),
+                    ]
+                ).astype(np.int32)
+                d_l = d_p[:, take]
+                slot_idx = slot_p[:, take]
+            else:
+                d_l, slot_idx = d_p, slot_p
             c_idx = u_ids[slot_idx]
-            return self._candidates_to_selection(data, d_l, c_idx)
+            return self._candidates_to_selection(
+                data, d_l, c_idx, alpha=self.alpha_upper
+            )
 
         selu_d, selu_ids = jax.lax.map(
             per_upper_layer, data.upper_level_masks
@@ -944,7 +976,7 @@ class DeviceBuilder:
             pair,
         )
         nd, nids = _select_neighbors_parallel(
-            cand_d, cand_ids, pair, lm, self.alpha_eff
+            cand_d, cand_ids, pair, lm, self.alpha_upper
         )
 
         sslot = jnp.where(head & (slot >= 0), slot_c, dump_slot)
@@ -1008,17 +1040,16 @@ class DeviceBuilder:
     def _width_for(self, start: int) -> int:
         """Static scored-prefix bucket for a batch starting at `start`.
 
-        Large corpora compile exactly TWO ground-candidate programs:
-        the fixed exact floor (width = descent_min, plain top_k) for
-        batches below the descent threshold and the width-independent
-        descent program (sentinel 0) above it — XLA compile time, not
-        device time, dominates the cold-start build otherwise. Small
-        corpora (cap+1 <= descent_min) keep doubling buckets so tests
-        and small builds compile small fast programs.
+        Doubling width buckets below the descent threshold (the
+        doubling invariant count >= width/2 keeps approx_min_k's
+        candidate density sound; exact top_k over wide rows costs
+        5-10x more device time EVERY build, while the per-bucket
+        compiles hit the persistent cache after the first run), and
+        ONE width-independent descent program (sentinel 0) above it.
         """
         cap1 = self.cap + 1
-        if cap1 > self.descent_min:
-            return 0 if start + 1 > self.descent_min else self.descent_min
+        if cap1 > self.descent_min and start + 1 > self.descent_min:
+            return 0
         width = 4096
         while width < min(start + 1, cap1):
             width *= 2
@@ -1057,7 +1088,10 @@ class DeviceBuilder:
                 width=w,
             )
             if timing:
-                jax.block_until_ready(self.arrays)
+                # a tiny download, not block_until_ready: the tunneled
+                # backend acks dispatches asynchronously, so only a
+                # value readback actually drains the device queue
+                int(np.asarray(self.arrays.entry))
                 n_el = sum(z for _, z in batches)
                 dt = time.time() - t0
                 print(
@@ -1080,7 +1114,7 @@ class DeviceBuilder:
             self.data, self.arrays, jstart, jsize, width=width
         )
         if debug:
-            jax.block_until_ready((sel_d, sel_ids))
+            float(np.asarray(sel_d[0, 0, 0]))  # download-sync (tunnel)
             t1 = time.time()
             print(
                 f"[build] batch@{start} n={size} w={width} "
@@ -1094,13 +1128,13 @@ class DeviceBuilder:
             a = self._fwd_jit(
                 self.data, self.arrays, jstart, jsize, sel_d, sel_ids
             )
-            jax.block_until_ready(a)
+            int(np.asarray(a.entry))
             t1 = time.time()
             nb0, nb0d = self._be0_jit(
                 self.data, a.neighbors0, a.nbr0_dist, a.alive, jstart, jsize,
                 sel_d, sel_ids,
             )
-            jax.block_until_ready((nb0, nb0d))
+            int(np.asarray(nb0[0, 0]))
             t2 = time.time()
             up, upd = self._beu_jit(
                 self.data, a.upper_nbrs, a.upper_dist, a.alive, jstart, jsize,
@@ -1109,7 +1143,7 @@ class DeviceBuilder:
             self.arrays = a._replace(
                 neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
             )
-            jax.block_until_ready(self.arrays)
+            int(np.asarray(up[0, 0, 0]))
             t3 = time.time()
             print(
                 f"[build] batch@{start} commit {t3-t0:.3f}s "
