@@ -84,18 +84,63 @@ def hnsw_get_ml(m: int) -> float:
     return 1.0 / math.log(m)
 
 
-# PostgreSQL page geometry, used only to reproduce the reference's level cap.
-_BLCKSZ = 8192
+# PostgreSQL page geometry: informational size math reproduced from the
+# reference's on-disk format (types/hnsw.rs). The TPU index stores the
+# graph as flat device arrays, not 8KB pages, but the formulas below
+# govern the reference's element-size limits and level cap, and the
+# level cap is behavior-visible (it bounds random levels at build).
+BLCKSZ = 8192
 _PAGE_HEADER_SIZE = 24
 _PAGE_OPAQUE_SIZE = 8  # HnswPageOpaqueData: nextblkno + page_id + padding
 _ITEM_ID_SIZE = 4
 _NEIGHBOR_TUPLE_HEADER = 4  # type u8 + version u8 + count u16
 _ITEM_POINTER_SIZE = 6
+#: HnswElementTupleData fixed header: type/level/deleted/version (4 x u8)
+#: + 10 heap TIDs (6B each) + neighbortid (6B) + unused u16
+#: (types/hnsw.rs:112-128).
+_ELEMENT_TUPLE_HEADER = 4 + HNSW_HEAPTIDS * _ITEM_POINTER_SIZE + 6 + 2
 
 
-def _maxalign(x: int) -> int:
-    """8-byte alignment, parity with types/hnsw.rs:316-319."""
+def maxalign(x: int) -> int:
+    """8-byte alignment, parity with types/hnsw.rs maxalign()."""
     return (x + 7) & ~7
+
+
+_maxalign = maxalign
+
+
+def hnsw_element_tuple_size(data_size: int) -> int:
+    """On-disk element tuple size for a `data_size`-byte varlena value.
+
+    Parity: types/hnsw.rs hnsw_element_tuple_size()
+    (C's HNSW_ELEMENT_TUPLE_SIZE).
+    """
+    return maxalign(_ELEMENT_TUPLE_HEADER + data_size)
+
+
+def hnsw_neighbor_tuple_size(level: int, m: int) -> int:
+    """On-disk neighbor tuple size: header + (level+2)*m item pointers.
+
+    Parity: types/hnsw.rs hnsw_neighbor_tuple_size()
+    (C's HNSW_NEIGHBOR_TUPLE_SIZE).
+    """
+    return maxalign(
+        _NEIGHBOR_TUPLE_HEADER + (level + 2) * m * _ITEM_POINTER_SIZE
+    )
+
+
+def hnsw_max_size() -> int:
+    """Max usable space on one HNSW page (C's HNSW_MAX_SIZE).
+
+    Parity: types/hnsw.rs hnsw_max_size():
+    BLCKSZ - MAXALIGN(page header) - MAXALIGN(opaque) - sizeof(ItemId).
+    """
+    return (
+        BLCKSZ
+        - maxalign(_PAGE_HEADER_SIZE)
+        - maxalign(_PAGE_OPAQUE_SIZE)
+        - _ITEM_ID_SIZE
+    )
 
 
 def hnsw_get_max_level(m: int) -> int:
@@ -106,7 +151,7 @@ def hnsw_get_max_level(m: int) -> int:
     e.g. m=16 -> 82.
     """
     available = (
-        _BLCKSZ
+        BLCKSZ
         - _maxalign(_PAGE_HEADER_SIZE)
         - _maxalign(_PAGE_OPAQUE_SIZE)
         - _NEIGHBOR_TUPLE_HEADER

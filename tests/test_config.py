@@ -86,6 +86,23 @@ class TestConstants:
         assert C.hnsw_get_max_level(16) == 82
         assert C.hnsw_get_max_level(2) <= 255
 
+    def test_maxalign(self):
+        # types/hnsw.rs maxalign tests (:356-362)
+        assert [C.maxalign(x) for x in (0, 1, 7, 8, 9)] == [0, 8, 8, 8, 16]
+
+    def test_tuple_sizes(self):
+        # types/hnsw.rs:405-417: sizes MAXALIGN'd; header layout parity
+        assert C.hnsw_element_tuple_size(16) % 8 == 0
+        # 72-byte element header (4 flags + 10 TIDs + neighbortid + pad)
+        assert C.hnsw_element_tuple_size(0) == 72
+        assert C.hnsw_neighbor_tuple_size(0, 16) % 8 == 0
+        # level=0, m=16 -> 4B header + 32 * 6B TIDs, maxaligned
+        assert C.hnsw_neighbor_tuple_size(0, 16) == C.maxalign(4 + 32 * 6)
+
+    def test_hnsw_max_size(self):
+        # types/hnsw.rs:420-426
+        assert 4000 < C.hnsw_max_size() < C.BLCKSZ
+
 
 def test_scan_mem_multiplier_caps_iterative_state():
     import numpy as np
