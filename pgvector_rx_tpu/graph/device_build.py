@@ -846,24 +846,46 @@ class DeviceBuilder:
         add_ids = jnp.where(same, s_src[win_idx], -1)
         add_d = jnp.where(same, s_d[win_idx], jnp.inf)
 
-        cand_ids = jnp.concatenate([old_ids, add_ids], axis=1)  # [R, lm+K]
-        cand_d = jnp.concatenate([old_d, add_d], axis=1)
-        cand_d = jnp.where(cand_ids < 0, jnp.inf, cand_d)
-        order = jnp.argsort(cand_d, axis=1)
-        cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
-        cand_d = jnp.take_along_axis(cand_d, order, axis=1)
+        def select_rows(args):
+            o_ids, o_d, a_ids, a_d = args
+            cand_ids = jnp.concatenate([o_ids, a_ids], axis=1)  # [*, lm+K]
+            cand_d = jnp.concatenate([o_d, a_d], axis=1)
+            cand_d = jnp.where(cand_ids < 0, jnp.inf, cand_d)
+            order = jnp.argsort(cand_d, axis=1)
+            cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+            cand_d = jnp.take_along_axis(cand_d, order, axis=1)
+            rows16 = (
+                data.vectors_bf16 if self.metric != "l1" else data.vectors
+            )
+            rows = rows16[jnp.clip(cand_ids, 0, self.cap)]
+            pair = _pair_matrix(self.metric, rows)
+            pair = jnp.where(
+                (cand_ids[:, None, :] < 0) | (cand_ids[:, :, None] < 0),
+                jnp.inf,
+                pair,
+            )
+            return _select_neighbors_parallel(
+                cand_d, cand_ids, pair, lm, self.alpha_eff
+            )
 
-        rows16 = data.vectors_bf16 if self.metric != "l1" else data.vectors
-        rows = rows16[jnp.clip(cand_ids, 0, self.cap)]
-        pair = _pair_matrix(self.metric, rows)
-        pair = jnp.where(
-            (cand_ids[:, None, :] < 0) | (cand_ids[:, :, None] < 0),
-            jnp.inf,
-            pair,
-        )
-        nd, nids = _select_neighbors_parallel(
-            cand_d, cand_ids, pair, lm, self.alpha_eff
-        )
+        # chunk the per-row selection: the [R, lm+K, lm+K] pair tensor
+        # (plus sort transients) is what blew HBM at batch 4096 —
+        # R = B*lm0 rows of (lm+K)^2 f32
+        CH = 32768
+        if R > CH and R % CH == 0:
+            nd_c, nids_c = jax.lax.map(
+                select_rows,
+                (
+                    old_ids.reshape(-1, CH, old_ids.shape[1]),
+                    old_d.reshape(-1, CH, old_d.shape[1]),
+                    add_ids.reshape(-1, CH, K),
+                    add_d.reshape(-1, CH, K),
+                ),
+            )
+            nd = nd_c.reshape(R, -1)
+            nids = nids_c.reshape(R, -1)
+        else:
+            nd, nids = select_rows((old_ids, old_d, add_ids, add_d))
         return head, s_tgt, nids, nd
 
     def _backedge0_step(self, data: BuildData, neighbors0, nbr0_dist,
