@@ -655,8 +655,10 @@ class DeviceBuilder:
             seed_ids = u_ids[seed_slots]
             seed_d = jnp.where(jnp.isfinite(neg_sd), -neg_sd, jnp.inf)
             seed_ids = jnp.where(jnp.isfinite(neg_sd), seed_ids, -1)
+            # measured at 1M: 40 steps matches 64-step recall (0.984)
+            # at 1.3x the build rate; scale mildly with capacity
             steps = int(os.environ.get("PGV_BUILD_BEAM_STEPS", 0)) or (
-                24 + 2 * int(math.log2(self.cap + 1))
+                20 + int(math.log2(self.cap + 1))
             )
             expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
             cand_d, cand_idx = self._beam_ground_candidates(

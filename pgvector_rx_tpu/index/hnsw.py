@@ -370,10 +370,12 @@ class HnswIndex:
         n = len(data)
         if ids is None:
             ids = range(n)
-        if method == "auto" and kind == "dense":
-            if n >= 20000:
+        if method == "auto":
+            if kind == "dense" and n >= 20000:
                 method = "device"
             else:
+                # bit/sparse and small dense builds: native C++ engine
+                # (same algorithms/semantics as the host engine, ~100x)
                 from .. import native
 
                 method = "native" if native.available() else "host"

@@ -22,7 +22,16 @@ from pathlib import Path
 
 import numpy as np
 
-_METRIC_CODE = {"l2": 0, "ip": 1, "cosine": 2, "l1": 3}
+_METRIC_CODE = {
+    "l2": 0,
+    "ip": 1,
+    "cosine": 2,
+    "l1": 3,
+    "hamming": 4,
+    "jaccard": 5,
+}
+
+_SP_PAD = np.int32(2**31 - 1)
 
 _lib = None
 _tried = False
@@ -79,9 +88,58 @@ def _load():
         return None
 
     c_i32, c_i64, c_f32 = ctypes.c_int32, ctypes.c_int64, ctypes.c_float
+    c_u32 = ctypes.c_uint32
     p = ctypes.POINTER
     lib.hnsw_create.restype = ctypes.c_void_p
     lib.hnsw_create.argtypes = [ctypes.c_int] * 4
+    lib.hnsw_create_bit.restype = ctypes.c_void_p
+    lib.hnsw_create_bit.argtypes = [ctypes.c_int] * 4
+    lib.hnsw_create_sparse.restype = ctypes.c_void_p
+    lib.hnsw_create_sparse.argtypes = [ctypes.c_int] * 4
+    lib.hnsw_insert_bit.restype = c_i32
+    lib.hnsw_insert_bit.argtypes = [ctypes.c_void_p, p(c_u32), ctypes.c_int, c_i64]
+    lib.hnsw_insert_sparse.restype = c_i32
+    lib.hnsw_insert_sparse.argtypes = [
+        ctypes.c_void_p,
+        p(c_i32),
+        p(c_f32),
+        ctypes.c_int,
+        c_i64,
+    ]
+    lib.hnsw_bulk_insert_bit.restype = c_i32
+    lib.hnsw_bulk_insert_bit.argtypes = [
+        ctypes.c_void_p,
+        p(c_u32),
+        p(ctypes.c_int),
+        p(c_i64),
+        ctypes.c_int,
+    ]
+    lib.hnsw_bulk_insert_sparse.restype = c_i32
+    lib.hnsw_bulk_insert_sparse.argtypes = [
+        ctypes.c_void_p,
+        p(c_i32),
+        p(c_f32),
+        p(ctypes.c_int),
+        p(c_i64),
+        ctypes.c_int,
+    ]
+    lib.hnsw_search_bit.restype = c_i32
+    lib.hnsw_search_bit.argtypes = [
+        ctypes.c_void_p,
+        p(c_u32),
+        ctypes.c_int,
+        p(c_i32),
+        p(c_f32),
+    ]
+    lib.hnsw_search_sparse.restype = c_i32
+    lib.hnsw_search_sparse.argtypes = [
+        ctypes.c_void_p,
+        p(c_i32),
+        p(c_f32),
+        ctypes.c_int,
+        p(c_i32),
+        p(c_f32),
+    ]
     lib.hnsw_destroy.argtypes = [ctypes.c_void_p]
     lib.hnsw_insert.restype = c_i32
     lib.hnsw_insert.argtypes = [ctypes.c_void_p, p(c_f32), ctypes.c_int, c_i64]
@@ -129,15 +187,26 @@ def available() -> bool:
 
 
 class NativeGraph:
-    """A native HNSW arena (dense metrics only)."""
+    """A native HNSW arena over dense f32, packed-bit (u32 words), or
+    padded-CSR sparse rows."""
 
-    def __init__(self, dim: int, m: int, ef_construction: int, metric: str):
+    def __init__(self, dim: int, m: int, ef_construction: int, metric: str,
+                 kind: str = "dense"):
         lib = _load()
         if lib is None:
             raise RuntimeError("native engine unavailable")
         self._lib = lib
-        self.dim = dim
-        self._h = lib.hnsw_create(dim, m, ef_construction, _METRIC_CODE[metric])
+        self.kind = kind
+        self.dim = dim  # dense: floats; bit: u32 words; sparse: budget
+        mc = _METRIC_CODE[metric]
+        if kind == "dense":
+            self._h = lib.hnsw_create(dim, m, ef_construction, mc)
+        elif kind == "bit":
+            self._h = lib.hnsw_create_bit(dim, m, ef_construction, mc)
+        elif kind == "sparse":
+            self._h = lib.hnsw_create_sparse(dim, m, ef_construction, mc)
+        else:
+            raise ValueError(kind)
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -145,18 +214,52 @@ class NativeGraph:
             self._h = None
 
     def bulk_insert(self, vecs: np.ndarray, levels: np.ndarray, tids: np.ndarray) -> int:
-        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
         levels = np.ascontiguousarray(levels, dtype=np.int32)
         tids = np.ascontiguousarray(tids, dtype=np.int64)
+        lp = levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+        tp = tids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if self.kind == "bit":
+            rows = np.ascontiguousarray(vecs, dtype=np.uint32)
+            return self._lib.hnsw_bulk_insert_bit(
+                self._h,
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                lp, tp, len(rows),
+            )
+        if self.kind == "sparse":
+            idx_rows, val_rows = vecs  # ([n, P] int32, [n, P] f32)
+            idx_rows = np.ascontiguousarray(idx_rows, dtype=np.int32)
+            val_rows = np.ascontiguousarray(val_rows, dtype=np.float32)
+            return self._lib.hnsw_bulk_insert_sparse(
+                self._h,
+                idx_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                val_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                lp, tp, len(idx_rows),
+            )
+        rows = np.ascontiguousarray(vecs, dtype=np.float32)
         return self._lib.hnsw_bulk_insert(
             self._h,
-            vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            tids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(vecs),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lp, tp, len(rows),
         )
 
-    def insert(self, vec: np.ndarray, level: int, tid: int) -> int:
+    def insert(self, vec, level: int, tid: int) -> int:
+        if self.kind == "bit":
+            row = np.ascontiguousarray(vec, dtype=np.uint32)
+            return self._lib.hnsw_insert_bit(
+                self._h,
+                row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                level, tid,
+            )
+        if self.kind == "sparse":
+            qi, qv = vec
+            qi = np.ascontiguousarray(qi, dtype=np.int32)
+            qv = np.ascontiguousarray(qv, dtype=np.float32)
+            return self._lib.hnsw_insert_sparse(
+                self._h,
+                qi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                qv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                level, tid,
+            )
         vec = np.ascontiguousarray(vec, dtype=np.float32)
         return self._lib.hnsw_insert(
             self._h, vec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), level, tid
@@ -196,17 +299,35 @@ class NativeGraph:
             )
         return level, tids, layers
 
-    def search(self, query: np.ndarray, ef: int):
-        query = np.ascontiguousarray(query, dtype=np.float32)
+    def search(self, query, ef: int):
         ids = np.full(ef, -1, dtype=np.int32)
         dists = np.full(ef, np.inf, dtype=np.float32)
-        n = self._lib.hnsw_search(
-            self._h,
-            query.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ef,
-            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        ip = ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        dp = dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if self.kind == "bit":
+            q = np.ascontiguousarray(query, dtype=np.uint32)
+            n = self._lib.hnsw_search_bit(
+                self._h,
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ef, ip, dp,
+            )
+        elif self.kind == "sparse":
+            qi, qv = query
+            qi = np.ascontiguousarray(qi, dtype=np.int32)
+            qv = np.ascontiguousarray(qv, dtype=np.float32)
+            n = self._lib.hnsw_search_sparse(
+                self._h,
+                qi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                qv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ef, ip, dp,
+            )
+        else:
+            q = np.ascontiguousarray(query, dtype=np.float32)
+            n = self._lib.hnsw_search(
+                self._h,
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ef, ip, dp,
+            )
         return dists[:n], ids[:n]
 
     def search_batch(self, queries: np.ndarray, ef: int):
@@ -225,9 +346,21 @@ class NativeGraph:
         return dists, ids
 
 
+def _bit_words(packed: np.ndarray) -> np.ndarray:
+    """Packed uint8 bytes -> u32 words (zero-padded to a word multiple)."""
+    pad = (-len(packed)) % 4
+    if pad:
+        packed = np.concatenate([packed, np.zeros(pad, np.uint8)])
+    return packed.view(np.uint32)
+
+
 def native_bulk_build(index, data, ids) -> None:
     """Build via the native engine, then populate the host index
-    structures (used by HnswIndex.build(method='native'))."""
+    structures (used by HnswIndex.build(method='native')).
+
+    Supports all kinds: dense f32, bit (packed rows re-packed to u32
+    words for popcount distances), and sparse (rows padded to the max
+    nnz of the batch, INT32_MAX index padding)."""
     from ..graph.host import GraphElement
 
     prepared, kept_tids = [], []
@@ -235,20 +368,44 @@ def native_bulk_build(index, data, ids) -> None:
         p = index.prepare_value(value)
         if p is None:
             continue
-        prepared.append(np.asarray(p, dtype=np.float32))
+        prepared.append(p)
         kept_tids.append(int(tid))
     if not prepared:
         return
-    vecs = np.stack(prepared)
     levels = np.array([index.random_level() for _ in prepared], dtype=np.int32)
     tids = np.array(kept_tids, dtype=np.int64)
 
-    ng = NativeGraph(index.dim, index.params.m, index.params.ef_construction, index.metric)
-    ng.bulk_insert(vecs, levels, tids)
+    if index.kind == "bit":
+        rows = np.stack([_bit_words(np.asarray(p, np.uint8)) for p in prepared])
+        ng = NativeGraph(
+            rows.shape[1], index.params.m, index.params.ef_construction,
+            index.metric, kind="bit",
+        )
+        ng.bulk_insert(rows, levels, tids)
+    elif index.kind == "sparse":
+        budget = max(max((len(p[0]) for p in prepared), default=1), 1)
+        n_rows = len(prepared)
+        idx_rows = np.full((n_rows, budget), _SP_PAD, dtype=np.int32)
+        val_rows = np.zeros((n_rows, budget), dtype=np.float32)
+        for r, (pi, pv) in enumerate(prepared):
+            idx_rows[r, : len(pi)] = pi
+            val_rows[r, : len(pv)] = pv
+        ng = NativeGraph(
+            budget, index.params.m, index.params.ef_construction,
+            index.metric, kind="sparse",
+        )
+        ng.bulk_insert((idx_rows, val_rows), levels, tids)
+    else:
+        rows = np.stack([np.asarray(p, dtype=np.float32) for p in prepared])
+        ng = NativeGraph(
+            index.dim, index.params.m, index.params.ef_construction,
+            index.metric,
+        )
+        ng.bulk_insert(rows, levels, tids)
 
     store_dtype = index.dtype or np.float32
     n = ng.n_elements
-    # map native slots -> vectors: slots are assigned in insert order but
+    # map native slots -> values: slots are assigned in insert order but
     # duplicates are folded, so reconstruct per-element values from tids
     tid_to_row = {t: i for i, t in enumerate(kept_tids)}
     for idx in range(n):
@@ -257,7 +414,11 @@ def native_bulk_build(index, data, ids) -> None:
         e.neighbors = layers
         index.elements.append(e)
         index.heap_tids.append(etids)
-        index.store.append(vecs[tid_to_row[etids[0]]].astype(store_dtype))
+        p = prepared[tid_to_row[etids[0]]]
+        if index.kind == "dense":
+            index.store.append(np.asarray(p, np.float32).astype(store_dtype))
+        else:
+            index.store.append(p)
     entry = ng.entry
     index.entry = entry if entry >= 0 else None
     index._invalidate_device()

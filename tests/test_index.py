@@ -33,6 +33,14 @@ def brute_force(data, queries, metric, k):
         dist = 1.0 - qn @ dn.T
     elif metric == "l1":
         dist = np.abs(q[:, None, :] - d[None, :, :]).sum(-1)
+    elif metric == "hamming":
+        dist = (q[:, None, :] != d[None, :, :]).sum(-1).astype(np.float64)
+    elif metric == "jaccard":
+        inter = ((q[:, None, :] > 0) & (d[None, :, :] > 0)).sum(-1)
+        union = ((q[:, None, :] > 0) | (d[None, :, :] > 0)).sum(-1)
+        dist = np.where(
+            inter == 0, 1.0, 1.0 - inter / np.maximum(union, 1)
+        )
     return np.argsort(dist, axis=1, kind="stable")[:, :k]
 
 

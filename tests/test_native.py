@@ -71,3 +71,71 @@ class TestNativeParity:
         _, ids = idx.search(data[10], 5, method="host")
         assert 10 in set(ids)
         assert not ({0, 1} & set(ids))
+
+
+class TestNativeBitSparse:
+    """Native engine parity for bit and sparse kinds."""
+
+    def test_bit_graph_matches_host(self):
+        """Hamming distances are integer-exact, so the graphs must be
+        identical between engines at equal seeds."""
+        rng = np.random.default_rng(17)
+        bits = rng.integers(0, 2, size=(400, 64)).astype(np.uint8)
+        a = HnswIndex.build(bits, metric="hamming", method="host", seed=5)
+        b = HnswIndex.build(bits, metric="hamming", method="native", seed=5)
+        assert a.entry == b.entry
+        assert a.heap_tids == b.heap_tids
+        for ae, be in zip(a.elements, b.elements):
+            assert ae.level == be.level
+            assert ae.neighbors == be.neighbors
+
+    @pytest.mark.parametrize("metric", ["hamming", "jaccard"])
+    def test_bit_recall(self, metric):
+        rng = np.random.default_rng(18)
+        bits = rng.integers(0, 2, size=(1200, 128)).astype(np.uint8)
+        idx = HnswIndex.build(bits, metric=metric, method="native", seed=6)
+        gt = brute_force(bits, bits[:20], metric, 10)
+        _, ids = idx.search(bits[:20], 10, SearchParams(ef_search=64),
+                            method="host")
+        assert recall_at_k(ids, gt, 10) >= 0.9
+
+    def test_bit_duplicates_fold(self):
+        bits = np.tile(
+            np.array([[1, 0, 1, 0, 1, 1, 0, 0]], dtype=np.uint8), (15, 1)
+        )
+        idx = HnswIndex.build(bits, metric="hamming", method="native")
+        counts = sorted((len(t) for t in idx.heap_tids if t), reverse=True)
+        assert counts[0] == 10
+        assert idx.num_tuples == 15
+
+    def test_sparse_recall_and_parity(self):
+        from pgvector_rx_tpu.types.sparsevec import SparseVec
+
+        rng = np.random.default_rng(19)
+        rows = []
+        for _ in range(600):
+            nnz = rng.integers(3, 12)
+            ii = np.sort(rng.choice(100, size=nnz, replace=False)).astype(
+                np.int32
+            )
+            vv = rng.standard_normal(nnz).astype(np.float32)
+            rows.append(SparseVec(100, ii, vv))
+        a = HnswIndex.build(rows, metric="l2", method="host", seed=3)
+        b = HnswIndex.build(rows, metric="l2", method="native", seed=3)
+        # identical queries through the same host scan path
+        for qi in (0, 7, 99):
+            da, ia = a.search(rows[qi], 5, SearchParams(ef_search=40),
+                              method="host")
+            db, ib = b.search(rows[qi], 5, SearchParams(ef_search=40),
+                              method="host")
+            assert int(ia[0]) == int(ib[0]) == qi
+            assert np.allclose(np.asarray(da), np.asarray(db), atol=1e-4)
+
+    def test_auto_routes_bit_to_native(self):
+        rng = np.random.default_rng(20)
+        bits = rng.integers(0, 2, size=(300, 32)).astype(np.uint8)
+        idx = HnswIndex.build(bits, metric="hamming")  # method="auto"
+        gt = brute_force(bits, bits[:10], "hamming", 5)
+        _, ids = idx.search(bits[:10], 5, SearchParams(ef_search=40),
+                            method="host")
+        assert recall_at_k(ids, gt, 5) >= 0.9
