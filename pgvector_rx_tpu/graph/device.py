@@ -677,14 +677,27 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int):
     return d, jnp.where(jnp.isfinite(d), ids, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int):
-    """Exact top-k over padded-CSR sparse rows (merge-join distances)."""
+@functools.partial(jax.jit, static_argnames=("k", "dim"))
+def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
+                         dim: int = 0):
+    """Exact top-k over padded-CSR sparse rows.
+
+    With a known vocabulary size (`dim` > 0, up to ~1M), uses the
+    dense-query gather formulation (ops/sparse.pairwise_dense_q) —
+    ~1000x the per-pair searchsorted merge join; otherwise falls back
+    to the merge join, which works at any dimensionality (sparsevec
+    allows dim up to 10^9, sparsevec.rs:29).
+    """
     from ..ops import sparse as sparse_ops
 
-    scores = sparse_ops.pairwise(
-        g.metric, g.sp_indices, g.sp_values, q_indices, q_values
-    )  # [B, cap+1]
+    if 0 < dim <= sparse_ops.DENSE_Q_MAX_DIM:
+        scores = sparse_ops.pairwise_dense_q(
+            g.metric, dim, g.sp_indices, g.sp_values, q_indices, q_values
+        )  # [B, cap+1]
+    else:
+        scores = sparse_ops.pairwise(
+            g.metric, g.sp_indices, g.sp_values, q_indices, q_values
+        )  # [B, cap+1]
     live = g.traversable & (g.tid_count > 0)
     scores = jnp.where(live[None, :], scores, jnp.inf)
     neg_d, ids = jax.lax.top_k(-scores, k)
@@ -869,7 +882,7 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
             beam_d, beam_ids = _exact_search_bits(g, queries, max(k, 1))
         else:
             beam_d, beam_ids = _exact_search_sparse(
-                g, queries[0], queries[1], max(k, 1)
+                g, queries[0], queries[1], max(k, 1), dim=index.dim
             )
     elif index.kind == "sparse":
         qtuple = queries

@@ -1233,6 +1233,11 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
 
     if index.kind == "dense" and isinstance(data, np.ndarray):
         vectors, kept_tids = _prepare_dense_bulk(index, data, ids)
+        if index.dtype is not None and index.dtype != np.float32:
+            # round through the store dtype (halfvec): the reference
+            # scores the f16-STORED value, and reload-equivalence
+            # requires the serving graph to see the same rounding
+            vectors = vectors.astype(index.dtype).astype(np.float32)
         n = len(vectors)
         if n == 0:
             return

