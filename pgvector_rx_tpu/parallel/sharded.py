@@ -67,25 +67,42 @@ class ShardedHnswIndex:
         mesh: Optional[Mesh] = None,
         method: str = "auto",
         seed: int = 0,
+        host_graph: bool = True,
     ) -> "ShardedHnswIndex":
+        """Round-robin partition + per-shard build.
+
+        Each shard's device build runs with that shard's mesh device as
+        the default (so at 100M-scale the build arrays live on the chip
+        that will serve the shard); ``host_graph=False`` builds
+        serving-only shards (no per-element host objects — required at
+        >~10M rows/shard, where Python materialization dominates).
+        """
+        import jax
+
         data = np.asarray(data)
         n = len(data)
         if ids is None:
             ids = np.arange(n)
         ids = np.asarray(ids)
+        devices = (
+            list(mesh.devices.flat) if mesh is not None else jax.devices()
+        )
         shards = []
         for s in range(n_shards):
             sel = np.arange(s, n, n_shards)
-            shards.append(
-                HnswIndex.build(
-                    data[sel],
-                    metric=metric,
-                    params=params,
-                    ids=ids[sel],
-                    method=method,
-                    seed=seed + s,
+            dev = devices[s % len(devices)]
+            with jax.default_device(dev):
+                shards.append(
+                    HnswIndex.build(
+                        data[sel],
+                        metric=metric,
+                        params=params,
+                        ids=ids[sel],
+                        method=method,
+                        seed=seed + s,
+                        host_graph=host_graph,
+                    )
                 )
-            )
         return cls(shards, mesh=mesh)
 
     def insert(self, value, tid: Optional[int] = None):

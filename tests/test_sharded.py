@@ -122,3 +122,32 @@ class TestShardedScan:
         items = scan.take(10**6)
         assert len(items) == idx.num_tuples
         assert len({t for t, _ in items}) == idx.num_tuples  # exactly-once
+
+
+class TestShardedServingOnly:
+    def test_device_built_serving_shards(self):
+        """100M-config shape: serving-only device-built shards (no host
+        graph), SPMD search + sharded iterative scan still work."""
+        from jax.sharding import Mesh
+
+        rng = np.random.default_rng(90)
+        data = rng.standard_normal((2000, 12)).astype(np.float32)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+        idx = ShardedHnswIndex.build(
+            data, n_shards=2, metric="l2", mesh=mesh, method="device",
+            host_graph=False, seed=91,
+        )
+        q = data[:8]
+        gt = brute_force(data, q, "l2", 5)
+        d, tids = idx.search(q, 5, SearchParams(ef_search=40))
+        assert recall_at_k(tids, gt, 5) >= 0.95
+        scan = idx.scan(
+            data[3],
+            SearchParams(ef_search=20, iterative_scan="relaxed_order",
+                         max_scan_tuples=40),
+        )
+        items = scan.take(1000)
+        assert len(items) == 40
+        assert [dd for _, dd in items] == sorted(dd for _, dd in items)
+        with pytest.raises(RuntimeError):
+            idx.shards[0].delete([1])
