@@ -912,7 +912,8 @@ class DeviceBuilder:
         old_ids = neighbors0[s_tgt0]
         old_d = nbr0_dist[s_tgt0]
         head, s_tgt, nids, nd = self._resolve_backedges(
-            data, old_ids, old_d, tgt, dst, src, lm, K=min(lm, 16)
+            data, old_ids, old_d, tgt, dst, src, lm,
+            K=min(lm, int(os.environ.get("PGV_BUILD_BE_K", 16)))
         )
         scatter_tgt = jnp.where(head, s_tgt, dump)
         return (
@@ -964,7 +965,7 @@ class DeviceBuilder:
         u_src = jnp.where(sel_ok, flat_src[order], -1)
         u_layer = jnp.where(sel_ok, flat_layer[order], self.lmax + 7)
         lm = self.m
-        K = min(lm, 16)
+        K = min(lm, int(os.environ.get("PGV_BUILD_BE_K", 16)))
         dump_slot = self.upper_dump
         s_layer, s_tgt, s_d, s_src = jax.lax.sort(
             [u_layer, u_tgt, u_dst, u_src], num_keys=3
