@@ -674,8 +674,21 @@ class DeviceBuilder:
         pool = min(4 * kku, width_u) if stratify else kku
         extra = min(kku // 2, pool - kku) if pool > kku else 0
 
+        # Compact the batch rows that have upper layers at all (P(level
+        # >= 1) = 1/m): per-layer top-k + selection run on ~B*4/m rows
+        # instead of B. Overflow beyond the 4x-margin budget silently
+        # drops that row's upper selection (degraded edges, not
+        # corruption); P(overflow) is astronomically small.
+        RU2 = min(B, max(B * 4 // max(self.m, 1), 32))
+        has_up = (my_level >= 1) & batch_mask
+        order_u = jnp.argsort(~has_up)[:RU2]  # stable: active rows first
+        cvalid = has_up[order_u]
+        u_scores_c = jnp.where(
+            cvalid[:, None], u_scores[order_u], jnp.inf
+        )  # [RU2, width_u]
+
         def per_upper_layer(lmask):
-            s_l = jnp.where(lmask[None, :], u_scores, jnp.inf)
+            s_l = jnp.where(lmask[None, :], u_scores_c, jnp.inf)
             if width_u >= _APPROX_TOPK_MIN:
                 d_p, slot_p = jax.lax.approx_min_k(
                     s_l, pool, recall_target=0.98
@@ -700,14 +713,25 @@ class DeviceBuilder:
                 data, d_l, c_idx, alpha=self.alpha_upper
             )
 
-        selu_d, selu_ids = jax.lax.map(
+        selu_d_c, selu_ids_c = jax.lax.map(
             per_upper_layer, data.upper_level_masks
+        )  # [LMAX, RU2, lm0]
+
+        # scatter compacted upper selections back to batch rows
+        scat = jnp.where(cvalid, order_u, B)
+        selu_d = (
+            jnp.full((B + 1, self.lmax, self.lm0), jnp.inf)
+            .at[scat]
+            .set(jnp.moveaxis(selu_d_c, 0, 1))[:B]
+        )
+        selu_ids = (
+            jnp.full((B + 1, self.lmax, self.lm0), -1, dtype=jnp.int32)
+            .at[scat]
+            .set(jnp.moveaxis(selu_ids_c, 0, 1))[:B]
         )
 
-        sel_d = jnp.concatenate([sel0_d[:, None], jnp.moveaxis(selu_d, 0, 1)], 1)
-        sel_ids = jnp.concatenate(
-            [sel0_ids[:, None], jnp.moveaxis(selu_ids, 0, 1)], 1
-        )
+        sel_d = jnp.concatenate([sel0_d[:, None], selu_d], 1)
+        sel_ids = jnp.concatenate([sel0_ids[:, None], selu_ids], 1)
 
         # mask layers above the element's own level; truncate upper
         # layers to their m slots
