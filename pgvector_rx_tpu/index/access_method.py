@@ -89,9 +89,9 @@ def create_index_for_opclass(name: str, dim: int, **kwargs):
     """CREATE INDEX ... USING hnsw (col <opclass>) analog."""
     from .hnsw import HnswIndex
 
-    oc = OPERATOR_CLASSES[name]
-    if oc.name not in OPERATOR_CLASSES:
+    if name not in OPERATOR_CLASSES:
         raise ValueError(f'operator class "{name}" does not exist')
+    oc = OPERATOR_CLASSES[name]
     return HnswIndex(
         dim,
         metric=oc.metric,
