@@ -590,3 +590,33 @@ class TestDeviceScan:
         out = scan.take(10_000)
         assert len(out) == 60
         assert scan.next() is None
+
+
+class TestHalfvecServingConsistency:
+    def test_device_build_scores_stored_f16(self, tmp_path):
+        """The serving graph must see f16-rounded values (what the store
+        holds), so save/load round-trips are search-identical and
+        distances match the reference's f16-stored semantics."""
+        rng = np.random.default_rng(55)
+        data = (rng.standard_normal((600, 16)) * 0.123).astype(np.float32)
+        idx = HnswIndex.build(
+            data, metric="l2", method="device", dtype=np.float16, seed=9,
+            host_graph=False,
+        )
+        q = data[:16]
+        d1, t1 = idx.search(q, 5, SearchParams(ef_search=40), method="exact")
+        idx.save(tmp_path / "hv")
+        idx2 = HnswIndex.load(tmp_path / "hv")
+        d2, t2 = idx2.search(q, 5, SearchParams(ef_search=40), method="exact")
+        assert np.array_equal(np.asarray(t1), np.asarray(t2))
+        # fresh serving arrays are capacity-padded, loaded ones sliced:
+        # different matmul reduction orders give ~1e-4 cancellation
+        # noise on near-zero distances; f16-rounding differences would
+        # be ~1e-3 relative on full-size distances
+        assert np.allclose(np.asarray(d1), np.asarray(d2), atol=5e-4)
+        # distances reflect f16 rounding of the stored rows
+        row0 = data[int(t1[0, 1])].astype(np.float16).astype(np.float64)
+        expect = float(np.linalg.norm(
+            row0 - data[0].astype(np.float64)))
+        # query stays f32; stored row is f16-rounded
+        assert d1[0, 1] == pytest.approx(expect, rel=1e-3)
