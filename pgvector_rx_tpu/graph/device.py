@@ -289,6 +289,11 @@ def _ground_beam(
     )
 
 
+#: beam corpora past this row count skip the visited bitmap ([B, cap+1]
+#: bool would exceed HBM at serving batch sizes) and dedup in-beam
+_VISITED_MAX_ROWS = int(os.environ.get("PGV_BEAM_VISITED_MAX", 1 << 21))
+
+
 def _ground_beam_seeds(
     g: DeviceGraph,
     q,
@@ -309,8 +314,16 @@ def _ground_beam_seeds(
     Multiple seeds (coarse-seeded serving) occupy the first S beam
     slots; invalid seeds (-1) are inert.
 
+    Visited-set handling is corpus-size dependent (static): up to
+    _VISITED_MAX_ROWS a per-query bitmap reproduces Algorithm 2's
+    visited semantics exactly; above it the beam dedups by id during
+    the merge (the expanded copy wins, so beam-resident nodes never
+    re-expand — nodes that fall off the beam and return may re-expand,
+    a bounded waste that keeps memory independent of corpus size).
+
     Returns (beam_d [ef], beam_ids [ef]) sorted nearest first + steps.
     """
+    use_visited = (g.cap + 1) <= _VISITED_MAX_ROWS
     S = seed_ids.shape[0]
     ok = seed_ids >= 0
     seed_d = jnp.where(ok, seed_d, jnp.inf)
@@ -323,9 +336,12 @@ def _ground_beam_seeds(
         .at[:S]
         .set(jnp.where(ok, 0, 1))
     )  # 1 = expanded/pad
-    visited = jnp.zeros((g.cap + 1,), dtype=jnp.bool_).at[
-        jnp.where(ok, seed_ids, g.cap)
-    ].set(ok)
+    if use_visited:
+        visited = jnp.zeros((g.cap + 1,), dtype=jnp.bool_).at[
+            jnp.where(ok, seed_ids, g.cap)
+        ].set(ok)
+    else:
+        visited = jnp.zeros((1,), dtype=jnp.bool_)  # unused placeholder
 
     def cond(state):
         beam_d, beam_ids, beam_exp, visited, steps = state
@@ -349,8 +365,10 @@ def _ground_beam_seeds(
         nbrs = g.neighbors0[jnp.maximum(u, 0)]  # [E, 2M]
         nbrs = jnp.where(sel_valid[:, None], nbrs, -1).reshape(-1)  # [E*2M]
         safe = jnp.clip(nbrs, 0, g.cap)
-        mask = (nbrs >= 0) & ~visited[safe] & g.traversable[safe]
-        visited = visited.at[jnp.where(nbrs >= 0, nbrs, g.cap)].set(True)
+        mask = (nbrs >= 0) & g.traversable[safe]
+        if use_visited:
+            mask = mask & ~visited[safe]
+            visited = visited.at[jnp.where(nbrs >= 0, nbrs, g.cap)].set(True)
         # dedupe duplicates inside this expansion batch: keep first hit
         if expand > 1:
             order = jnp.argsort(nbrs)
@@ -369,6 +387,18 @@ def _ground_beam_seeds(
         all_d = jnp.concatenate([beam_d, d_new])
         all_ids = jnp.concatenate([beam_ids, ids_new])
         all_exp = jnp.concatenate([beam_exp, exp_new])
+        if not use_visited:
+            # in-beam dedup by id, expanded copy first (same trick as
+            # the build beam): kill later copies before the rank sort
+            o_ids, o_nexp, o_d = jax.lax.sort(
+                [all_ids, 1 - all_exp, all_d], num_keys=2
+            )
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+            )
+            all_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
+            all_ids = o_ids
+            all_exp = 1 - o_nexp
         sd, sids, sexp = jax.lax.sort([all_d, all_ids, all_exp], num_keys=2)
         return (sd[:ef], sids[:ef], sexp[:ef], visited, steps + 1)
 
@@ -563,76 +593,118 @@ jax.tree_util.register_pytree_node(
 EXACT_ENGINE_MAX_ROWS = 4_000_000
 
 
+#: corpus rows per chunk of the big-corpus exact sweep: bounds the
+#: [B, CH] score transient to ~1 GB at the serving chunk of 1024
+#: queries, so sweeps scale to any HBM-resident corpus size
+_EXACT_SWEEP_CHUNK = 1 << 21
+
+
+def _exact_scores(g: DeviceGraph, queries, vals, x2, approx: bool):
+    """[B, rows(vals)] order-distance scores for a corpus slice."""
+    if approx:
+        q = queries.astype(jnp.bfloat16)
+        v = vals if vals.dtype == jnp.bfloat16 else vals.astype(jnp.bfloat16)
+    else:
+        q, v = queries, vals
+    if g.metric == "l1":  # no matmul identity — direct differences
+        return jnp.sum(
+            jnp.abs(
+                queries[:, None, :] - vals.astype(jnp.float32)[None, :, :]
+            ),
+            axis=-1,
+        )
+    dots = jax.lax.dot_general(
+        q, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if g.metric == "l2":
+        q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+        return jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
+    if g.metric == "ip":
+        return -dots
+    return 1.0 - jnp.clip(dots, -1.0, 1.0)  # cosine
+
+
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
 def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
     """Exact (or turbo-approximate) top-k over the index's live rows.
 
-    TPU-first serving path: below ~10M rows/chip a single
-    [B, D] x [D, N] MXU matmul + top-k is faster than any graph
-    traversal (whose random row gathers run ~25x below HBM
-    speed-of-light), and returns recall-1.0 results. Semantically it is
-    the same contract as the HNSW scan (nearest TIDs by order
-    distance), so `search(method="auto")` uses it whenever the corpus
-    fits. Masks vacuum-deleted elements and zero-TID slots like
-    search_layer_disk's deleted/type checks (scan.rs:155-228).
+    TPU-first serving path: a [B, D] x [D, N] MXU matmul + top-k is
+    faster than any graph traversal (whose random row gathers run ~25x
+    below HBM speed-of-light) up to millions of rows/chip, and returns
+    recall-1.0 results. Semantically it is the same contract as the
+    HNSW scan (nearest TIDs by order distance), so
+    `search(method="auto")` uses it whenever the corpus fits. Masks
+    vacuum-deleted elements and zero-TID slots like search_layer_disk's
+    deleted/type checks (scan.rs:155-228).
 
     ``approx=True`` (the "turbo" engine) scores in bfloat16 with f32
     accumulation and selects via lax.approx_min_k — the TPU-KNN
     recipe. Recall stays ~0.99 (measured per-workload by bench.py) at
     several-fold higher throughput.
 
+    Corpora past _EXACT_SWEEP_CHUNK rows sweep in chunks with a
+    running per-chunk top-k merged by one final sort, so the [B, N]
+    score matrix never materializes (10M+ rows/chip supported).
+
     Returns (dists [B, k], element ids [B, k]) sorted nearest-first.
     """
-    if approx:
-        vals = (
-            g.values_bf16
-            if g.values_bf16 is not None
-            else g.values.astype(jnp.bfloat16)
-        )
-        q = queries.astype(jnp.bfloat16)
-    else:
-        vals, q = g.values, queries
-    dots = jax.lax.dot_general(
-        q,
-        vals,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, cap+1]
-    if g.metric == "l2":
-        x2 = (
-            g.x2
-            if g.x2 is not None
-            else jnp.sum(g.values * g.values, axis=1)
-        )
-        q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
-        scores = jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
-    elif g.metric == "ip":
-        scores = -dots
-    elif g.metric == "cosine":
-        scores = 1.0 - jnp.clip(dots, -1.0, 1.0)
-    else:  # l1 — chunked VPU sweep
-        CH = 8192
-        cap1 = g.values.shape[0]
-        pad = (-cap1) % CH
-
-        def chunk(x_chunk):
-            return jnp.sum(
-                jnp.abs(queries[:, None, :] - x_chunk[None, :, :]), axis=-1
-            )
-
-        xp = jnp.pad(g.values, ((0, pad), (0, 0)))
-        parts = jax.lax.map(chunk, xp.reshape(-1, CH, queries.shape[1]))
-        scores = jnp.moveaxis(parts, 0, 1).reshape(queries.shape[0], -1)[
-            :, :cap1
-        ]
+    cap1 = g.values.shape[0]
+    B = queries.shape[0]
     live = g.traversable & (g.tid_count > 0)
-    scores = jnp.where(live[None, :], scores, jnp.inf)
-    if approx:
-        d, ids = jax.lax.approx_min_k(scores, k, recall_target=0.98)
-    else:
-        neg_d, ids = jax.lax.top_k(-scores, k)
-        d = -neg_d
-    return d, jnp.where(jnp.isfinite(d), ids, -1)
+    x2 = g.x2 if g.x2 is not None else jnp.sum(g.values * g.values, axis=1)
+    vals = (
+        (g.values_bf16 if g.values_bf16 is not None else g.values)
+        if approx
+        else g.values
+    )
+    l1_needs_chunks = g.metric == "l1" and cap1 > 2048
+    if cap1 <= _EXACT_SWEEP_CHUNK and not l1_needs_chunks:
+        scores = _exact_scores(g, queries, vals, x2, approx)
+        scores = jnp.where(live[None, :], scores, jnp.inf)
+        if approx:
+            d, ids = jax.lax.approx_min_k(scores, k, recall_target=0.98)
+        else:
+            neg_d, ids = jax.lax.top_k(-scores, k)
+            d = -neg_d
+        return d, jnp.where(jnp.isfinite(d), ids, -1)
+
+    # chunked sweep + merge (l1 uses small chunks: its direct-difference
+    # scoring materializes [B, CH, D])
+    CH = 2048 if g.metric == "l1" else _EXACT_SWEEP_CHUNK
+    pad = (-cap1) % CH
+    vals_p = jnp.pad(vals, ((0, pad), (0, 0)))
+    x2_p = jnp.pad(x2, (0, pad))
+    live_p = jnp.pad(live, (0, pad))
+    nc = vals_p.shape[0] // CH
+    base_ids = jnp.arange(CH, dtype=jnp.int32)
+
+    def chunk(args):
+        v_c, x2_c, live_c, off = args
+        s = _exact_scores(g, queries, v_c, x2_c, approx)
+        s = jnp.where(live_c[None, :], s, jnp.inf)
+        kk = min(k, CH)
+        if approx:
+            d_c, i_c = jax.lax.approx_min_k(s, kk, recall_target=0.98)
+        else:
+            neg, i_c = jax.lax.top_k(-s, kk)
+            d_c = -neg
+        return d_c, jnp.where(jnp.isfinite(d_c), i_c + off, -1)
+
+    offs = jnp.arange(nc, dtype=jnp.int32) * CH
+    d_all, i_all = jax.lax.map(
+        chunk,
+        (
+            vals_p.reshape(nc, CH, -1),
+            x2_p.reshape(nc, CH),
+            live_p.reshape(nc, CH),
+            offs,
+        ),
+    )  # [nc, B, k]
+    flat_d = jnp.moveaxis(d_all, 0, 1).reshape(B, -1)
+    flat_i = jnp.moveaxis(i_all, 0, 1).reshape(B, -1)
+    sd, si = jax.lax.sort([flat_d, flat_i], num_keys=1)
+    d = sd[:, :k]
+    return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
