@@ -712,41 +712,55 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int):
     """Exact top-k over packed-bit rows (hamming / jaccard).
 
     Chunked VPU popcount sweep — XOR/AND + population_count over
-    [B, CH, W] word tiles, masked by live slots, then one top-k.
+    [B, CH, W] word tiles, masked by live slots, with per-chunk top-k
+    merged by one final sort (the full [B, N] score matrix would be
+    16GB at 1M rows x 4k queries).
     """
     B = queries.shape[0]
     cap1 = g.words.shape[0]
     CH = 8192
     pad = (-cap1) % CH
     words = jnp.pad(g.words, ((0, pad), (0, 0)))
+    live = jnp.pad(g.traversable & (g.tid_count > 0), (0, pad))
+    nc = words.shape[0] // CH
     q_pop = jnp.sum(jax.lax.population_count(queries), axis=-1).astype(
         jnp.float32
     )  # [B]
+    kk = min(k, CH)
 
-    def chunk(w_chunk):  # [CH, W]
+    def chunk(args):  # ([CH, W], [CH], off)
+        w_chunk, live_c, off = args
         x = jnp.bitwise_xor(queries[:, None, :], w_chunk[None, :, :])
         xpop = jnp.sum(jax.lax.population_count(x), axis=-1).astype(
             jnp.float32
         )  # [B, CH]
         if g.metric == "hamming":
-            return xpop
-        a = jnp.bitwise_and(queries[:, None, :], w_chunk[None, :, :])
-        ab = jnp.sum(jax.lax.population_count(a), axis=-1).astype(jnp.float32)
-        bb = jnp.sum(
-            jax.lax.population_count(w_chunk), axis=-1
-        ).astype(jnp.float32)
-        union = q_pop[:, None] + bb[None, :] - ab
-        return jnp.where(
-            ab == 0.0, 1.0, 1.0 - ab / jnp.where(union > 0, union, 1.0)
-        )
+            s = xpop
+        else:
+            a = jnp.bitwise_and(queries[:, None, :], w_chunk[None, :, :])
+            ab = jnp.sum(jax.lax.population_count(a), axis=-1).astype(
+                jnp.float32
+            )
+            bb = jnp.sum(
+                jax.lax.population_count(w_chunk), axis=-1
+            ).astype(jnp.float32)
+            union = q_pop[:, None] + bb[None, :] - ab
+            s = jnp.where(
+                ab == 0.0, 1.0, 1.0 - ab / jnp.where(union > 0, union, 1.0)
+            )
+        s = jnp.where(live_c[None, :], s, jnp.inf)
+        neg, i_c = jax.lax.top_k(-s, kk)
+        return -neg, jnp.where(jnp.isfinite(neg), i_c + off, -1)
 
-    parts = jax.lax.map(chunk, words.reshape(-1, CH, words.shape[1]))
-    scores = jnp.moveaxis(parts, 0, 1).reshape(B, -1)[:, :cap1]
-    live = g.traversable & (g.tid_count > 0)
-    scores = jnp.where(live[None, :], scores, jnp.inf)
-    neg_d, ids = jax.lax.top_k(-scores, k)
-    d = -neg_d
-    return d, jnp.where(jnp.isfinite(d), ids, -1)
+    offs = jnp.arange(nc, dtype=jnp.int32) * CH
+    d_all, i_all = jax.lax.map(
+        chunk, (words.reshape(nc, CH, -1), live.reshape(nc, CH), offs)
+    )  # [nc, B, kk]
+    flat_d = jnp.moveaxis(d_all, 0, 1).reshape(B, -1)
+    flat_i = jnp.moveaxis(i_all, 0, 1).reshape(B, -1)
+    sd, si = jax.lax.sort([flat_d, flat_i], num_keys=1)
+    d = sd[:, :k]
+    return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dim"))
