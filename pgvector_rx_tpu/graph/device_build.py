@@ -1287,18 +1287,15 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         levels,
         index.params.m,
         index.params.ef_construction,
-        # Chunked scoring caps the transient score matrix at
-        # [1024, width]; batch growth beyond ~2k measurably hurt graph
-        # quality at the million-row scale (frozen-snapshot approx), so
-        # the default stays conservative. PGV_BUILD_BATCH overrides.
+        # 1024 = the largest batch validated stable through the
+        # tunneled backend (2048/4096 descent batches have crashed the
+        # TPU worker); also divisible by the scoring chunk, so the
+        # exact buckets' transient stays [1024, width] regardless of
+        # corpus size. PGV_BUILD_BATCH overrides.
         batch_max=int(
             os.environ.get("PGV_BUILD_BATCH", 0)
         )
-        or min(
-            4096,
-            max(64, 1 << max(n // 16, 1).bit_length() >> 1),
-            max(256, (4 << 30) // (4 * (n + 1))),
-        ),
+        or min(1024, max(64, 1 << max(n // 16, 1).bit_length() >> 1)),
     )
 
     heap_tids = [[t] for t in kept_tids]
