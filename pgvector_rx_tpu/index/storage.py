@@ -117,15 +117,19 @@ def load(path, replay: bool = True):
     z = np.load(path / "arrays.npz")
     n = int(meta["n_elements"])
 
-    # store rows
+    # store rows. NOTE: hoist every z[...] access out of loops — NpzFile
+    # re-decompresses the WHOLE array on each __getitem__, which turns a
+    # per-row loop into O(n^2) decompression (minutes-to-hours at 1M).
     if meta["kind"] in ("dense", "bit"):
+        rows = z["rows"]
         for i in range(n):
-            index.store.append(z["rows"][i])
+            index.store.append(rows[i])
     else:
         pad = index.store.PAD
+        sp_i, sp_v = z["sp_indices"], z["sp_values"]
         for i in range(n):
-            keep = z["sp_indices"][i] != pad
-            index.store.append((z["sp_indices"][i][keep], z["sp_values"][i][keep]))
+            keep = sp_i[i] != pad
+            index.store.append((sp_i[i][keep], sp_v[i][keep]))
 
     # elements
     levels, versions, deleted = z["levels"], z["versions"], z["deleted"]
