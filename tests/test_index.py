@@ -620,3 +620,52 @@ class TestHalfvecServingConsistency:
             row0 - data[0].astype(np.float64)))
         # query stays f32; stored row is f16-rounded
         assert d1[0, 1] == pytest.approx(expect, rel=1e-3)
+
+
+class TestInsertRecallOtherKinds:
+    """021/025/029 analogs: aminsert path for bit, halfvec, sparse."""
+
+    def test_bit_insert_recall(self):
+        rng = np.random.default_rng(21)
+        bits = rng.integers(0, 2, size=(300, 64)).astype(np.uint8)
+        idx = HnswIndex(64, metric="hamming", kind="bit", seed=6)
+        for i, row in enumerate(bits):
+            idx.insert(row, i)
+        gt = brute_force(bits, bits[:15], "hamming", 5)
+        _, ids = idx.search(bits[:15], 5, SearchParams(ef_search=40),
+                            method="host")
+        assert recall_at_k(ids, gt, 5) >= 0.95
+
+    def test_halfvec_insert_recall(self):
+        rng = np.random.default_rng(25)
+        data = rng.standard_normal((300, 12)).astype(np.float32)
+        idx = HnswIndex(12, metric="l2", dtype=np.float16, seed=7)
+        for i, row in enumerate(data):
+            idx.insert(row, i)
+        gt = brute_force(data.astype(np.float16).astype(np.float64),
+                         data[:15], "l2", 5)
+        _, ids = idx.search(data[:15], 5, SearchParams(ef_search=40),
+                            method="host")
+        assert recall_at_k(ids, gt, 5) >= 0.95
+
+    def test_sparse_insert_recall(self):
+        rng = np.random.default_rng(29)
+        rows = []
+        for _ in range(300):
+            nnz = rng.integers(3, 10)
+            ii = np.sort(rng.choice(40, size=nnz, replace=False)).astype(
+                np.int32
+            )
+            rows.append(SparseVec(40, ii, rng.standard_normal(nnz).astype(
+                np.float32)))
+        idx = HnswIndex(40, metric="l2", kind="sparse", seed=8)
+        for i, r in enumerate(rows):
+            idx.insert(r, i)
+        # dense mirror for ground truth
+        dense = np.zeros((300, 40), dtype=np.float64)
+        for i, r in enumerate(rows):
+            dense[i, r.indices] = r.values
+        gt = brute_force(dense, dense[:15], "l2", 5)
+        _, ids = idx.search(rows[:15], 5, SearchParams(ef_search=40),
+                            method="host")
+        assert recall_at_k(ids, gt, 5) >= 0.95
