@@ -6,7 +6,9 @@ on-disk search (scan.rs:302-448): the graph lives in HBM as
 - ``neighbors0 [cap+1, 2M] int32``  — ground-layer adjacency, -1 padded
   (the hot array; one row per element, analog of the layer-0 slots of
   the neighbor tuple, types/hnsw.rs:152-169)
-- ``upper_neighbors [U, LMAX, M] int32`` — compacted upper layers; only
+- ``upper_neighbors [U, LMAX*M] int32`` — compacted upper layers, layer
+  slices flattened into the row (a trailing dim of M would tile to
+  T(8,128) on TPU and pad the minor dim 8x — 14x memory blowup); only
   ~N/M elements have level >= 1 (P(level>=1) = 1/M under the geometric
   level rule, hnsw_constants.rs:132), so upper layers are stored
   separately from the hot ground layer
@@ -52,7 +54,7 @@ class DeviceGraph:
     entry: int  # -1 if empty
     entry_level: int
     neighbors0: jax.Array  # [cap+1, 2M] int32
-    upper_neighbors: jax.Array  # [U, LMAX, M] int32
+    upper_neighbors: jax.Array  # [U, LMAX*M] int32 (layer-major flat)
     upper_slot: jax.Array  # [cap+1] int32
     levels: jax.Array  # [cap+1] int32
     traversable: jax.Array  # [cap+1] bool
@@ -99,16 +101,16 @@ class DeviceGraph:
                 neighbors0[i, j] = nid
             if e.level >= 1:
                 upper_slot[i] = len(upper_rows)
-                row = np.full((lmax, m), -1, dtype=np.int32)
+                row = np.full(lmax * m, -1, dtype=np.int32)
                 for lc in range(1, e.level + 1):
                     for j, (_, nid) in enumerate(e.neighbors[lc][:m]):
-                        row[lc - 1, j] = nid
+                        row[(lc - 1) * m + j] = nid
                 upper_rows.append(row)
 
         upper_neighbors = (
             np.stack(upper_rows)
             if upper_rows
-            else np.full((1, lmax, m), -1, dtype=np.int32)
+            else np.full((1, lmax * m), -1, dtype=np.int32)
         )
 
         kwargs = {}
@@ -253,7 +255,10 @@ def _greedy_descent(g: DeviceGraph, q, entry_id, entry_dist, layer: int):
     def body(state):
         cur, cur_d, _ = state
         slot = g.upper_slot[cur]
-        nbrs = g.upper_neighbors[jnp.maximum(slot, 0), layer - 1]  # [M]
+        off = (layer - 1) * g.m  # static per layer
+        nbrs = jax.lax.dynamic_slice_in_dim(
+            g.upper_neighbors[jnp.maximum(slot, 0)], off, g.m
+        )  # [M]
         valid = (nbrs >= 0) & (slot >= 0) & g.traversable[jnp.clip(nbrs, 0, g.cap)]
         d = _dist_ids(g, q, nbrs)
         d = jnp.where(valid, d, jnp.inf)
@@ -1047,7 +1052,7 @@ def _search_one_sparse(g, q, ef: int, max_steps: int):
 def beam_search_arrays(
     values,  # [cap+1, D] f32
     neighbors0,  # [cap+1, 2M] int32
-    upper_neighbors,  # [U+1, LMAX, M] int32
+    upper_neighbors,  # [U+1, LMAX*M] int32 (layer-major flat)
     upper_slot,  # [cap+1] int32
     traversable,  # [cap+1] bool
     entry,  # traced scalar int32
@@ -1068,6 +1073,7 @@ def beam_search_arrays(
     """
     cap = values.shape[0] - 1
     n_upper = upper_neighbors.shape[0] - 1
+    m = upper_neighbors.shape[1] // lmax
 
     if metric == "l2":
         dist = lambda q, c: jnp.sum((c - q) ** 2, axis=-1)
@@ -1084,7 +1090,9 @@ def beam_search_arrays(
         if layer == 0:
             return neighbors0[jnp.clip(node, 0, cap)]
         slot = upper_slot[jnp.clip(node, 0, cap)]
-        row = upper_neighbors[jnp.clip(slot, 0, n_upper), layer - 1]
+        row = upper_neighbors[
+            jnp.clip(slot, 0, n_upper), (layer - 1) * m : layer * m
+        ]
         return jnp.where(slot >= 0, row, -1)
 
     def one(q):

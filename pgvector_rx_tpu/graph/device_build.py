@@ -77,8 +77,11 @@ class BuildArrays(NamedTuple):
 
     neighbors0: jax.Array  # [cap+1, 2m] int32, -1 pad
     nbr0_dist: jax.Array  # [cap+1, 2m] f32, +inf pad
-    upper_nbrs: jax.Array  # [U+1, LMAX, m] int32
-    upper_dist: jax.Array  # [U+1, LMAX, m] f32
+    # upper layers stored FLAT [U+1, LMAX*m]: a trailing dim of m (16)
+    # would tile to T(8,128) on TPU, padding the minor dim 8x and LMAX
+    # to 16 — a measured 14x memory blowup (8GB at 10M rows)
+    upper_nbrs: jax.Array  # [U+1, LMAX*m] int32
+    upper_dist: jax.Array  # [U+1, LMAX*m] f32
     alive: jax.Array  # [cap+1] bool — committed, not duplicate-folded
     tid_counts: jax.Array  # [cap+1] int32 heap TIDs per element (<= 10)
     absorb: jax.Array  # [cap+1] int32 duplicate-fold target (-1 = none)
@@ -361,10 +364,10 @@ class DeviceBuilder:
             neighbors0=jnp.full((cap_pad, self.lm0), -1, dtype=jnp.int32),
             nbr0_dist=jnp.full((cap_pad, self.lm0), jnp.inf, dtype=jnp.float32),
             upper_nbrs=jnp.full(
-                (upper_pad, self.lmax, m), -1, dtype=jnp.int32
+                (upper_pad, self.lmax * m), -1, dtype=jnp.int32
             ),
             upper_dist=jnp.full(
-                (upper_pad, self.lmax, m), jnp.inf, dtype=jnp.float32
+                (upper_pad, self.lmax * m), jnp.inf, dtype=jnp.float32
             ),
             alive=jnp.zeros((cap_pad,), dtype=jnp.bool_),
             tid_counts=jnp.zeros((cap_pad,), dtype=jnp.int32),
@@ -833,10 +836,10 @@ class DeviceBuilder:
         # [B, LMAX, m] block scatter of all upper layers at once
         arrays = arrays._replace(
             upper_nbrs=arrays.upper_nbrs.at[starget].set(
-                sel_ids[:, 1:, : self.m]
+                sel_ids[:, 1:, : self.m].reshape(B, -1)
             ),
             upper_dist=arrays.upper_dist.at[starget].set(
-                sel_d[:, 1:, : self.m]
+                sel_d[:, 1:, : self.m].reshape(B, -1)
             ),
         )
         # entry promotion: first alive element reaching the batch max
@@ -1007,8 +1010,9 @@ class DeviceBuilder:
         slot = data.upper_slot[jnp.clip(s_tgt, 0, self.cap)]
         slot_c = jnp.clip(slot, 0, dump_slot)
         lidx = jnp.clip(s_layer - 1, 0, self.lmax - 1)
-        old_ids = upper_nbrs[slot_c, lidx]
-        old_d = upper_dist[slot_c, lidx]
+        ucols = lidx[:, None] * self.m + jnp.arange(self.m)[None, :]
+        old_ids = upper_nbrs[slot_c[:, None], ucols]
+        old_d = upper_dist[slot_c[:, None], ucols]
 
         cand_ids = jnp.concatenate([old_ids, add_ids], axis=1)  # [RU, lm+K]
         cand_d = jnp.concatenate([old_d, add_d], axis=1)
@@ -1029,10 +1033,9 @@ class DeviceBuilder:
         )
 
         sslot = jnp.where(head & (slot >= 0), slot_c, dump_slot)
-        slidx = jnp.where(head, lidx, 0)
         return (
-            upper_nbrs.at[sslot, slidx].set(nids),
-            upper_dist.at[sslot, slidx].set(nd),
+            upper_nbrs.at[sslot[:, None], ucols].set(nids),
+            upper_dist.at[sslot[:, None], ucols].set(nd),
         )
 
     def _commit_all_step(self, data: BuildData, arrays: BuildArrays, start,
@@ -1328,8 +1331,13 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     # ---- populate the host index from the device arrays
     neighbors0 = np.asarray(builder.arrays.neighbors0)[: n]
     nbr0_dist = np.asarray(builder.arrays.nbr0_dist)[: n]
-    upper_nbrs = np.asarray(builder.arrays.upper_nbrs)
-    upper_dist = np.asarray(builder.arrays.upper_dist)
+    u_pad = builder.arrays.upper_nbrs.shape[0]
+    upper_nbrs = np.asarray(builder.arrays.upper_nbrs).reshape(
+        u_pad, builder.lmax, builder.m
+    )
+    upper_dist = np.asarray(builder.arrays.upper_dist).reshape(
+        u_pad, builder.lmax, builder.m
+    )
     upper_slot = np.asarray(builder.upper_slot)[: n]
 
     for i in range(n):

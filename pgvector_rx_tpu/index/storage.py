@@ -348,7 +348,10 @@ def _load_serving(meta, path: Path):
         entry=int(meta["entry"]),
         entry_level=int(meta["entry_level"]),
         neighbors0=jnp.asarray(z["neighbors0"]),
-        upper_neighbors=jnp.asarray(z["upper_neighbors"]),
+        # layer-major flat [U, LMAX*m]; reshape pre-flattening checkpoints
+        upper_neighbors=jnp.asarray(
+            z["upper_neighbors"].reshape(z["upper_neighbors"].shape[0], -1)
+        ),
         upper_slot=jnp.asarray(z["upper_slot"]),
         levels=jnp.asarray(z["levels"]),
         traversable=jnp.asarray(z["traversable"]),

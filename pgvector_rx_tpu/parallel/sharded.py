@@ -144,10 +144,11 @@ class ShardedHnswIndex:
             return self._stacked
         graphs = [s.device_graph() for s in self.shards]
         cap = max(g.cap for g in graphs)
-        n_up = max(g.upper_neighbors.shape[0] for g in graphs)
-        lmax = max(g.upper_neighbors.shape[1] for g in graphs)
-        lm0 = max(g.neighbors0.shape[1] for g in graphs)
         m = graphs[0].m
+        n_up = max(g.upper_neighbors.shape[0] for g in graphs)
+        # upper rows are layer-major flat [U, lmax*m]
+        lmax = max(g.upper_neighbors.shape[1] // m for g in graphs)
+        lm0 = max(g.neighbors0.shape[1] for g in graphs)
 
         def padded(g: device_mod.DeviceGraph):
             def pad2(a, r, c, fill):
@@ -157,9 +158,11 @@ class ShardedHnswIndex:
                 return out
 
             nb0 = pad2(g.neighbors0, cap + 1, lm0, -1)
-            up = np.full((n_up, lmax, m), -1, dtype=np.int32)
+            # layer-major flat: a shorter-lmax shard's layers keep their
+            # offsets when placed in the prefix of the wider row
+            up = np.full((n_up, lmax * m), -1, dtype=np.int32)
             gu = np.asarray(g.upper_neighbors)
-            up[: gu.shape[0], : gu.shape[1], :] = gu
+            up[: gu.shape[0], : gu.shape[1]] = gu
             uslot = np.full(cap + 1, -1, dtype=np.int32)
             uslot[: g.upper_slot.shape[0]] = np.asarray(g.upper_slot)
             trav = np.zeros(cap + 1, dtype=bool)
