@@ -164,7 +164,6 @@ def main():
         gt = np.asarray(jnp.concatenate(gt_parts))
         del base, gt_parts
     else:  # engine GT / CPU smoke runs
-        g = index.device_graph()
         _, gt = device_mod.serve_topk(index, queries_dev, k, engine="exact")
     log(f"  gt in {time.time()-t0:.1f}s")
 

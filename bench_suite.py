@@ -113,7 +113,6 @@ def run_cosine_768():
             data, metric="cosine", method="device", seed=1, host_graph=False
         ),
     )
-    g = index.device_graph()
     queries_dev = device_mod.prepare_queries(index, jnp.asarray(queries))
 
     _, gt = device_mod.serve_topk(index, queries_dev, K, engine="exact")

@@ -501,34 +501,14 @@ def _search_batch_coarse(
     seeds layer 0 better than Algorithm 5's ef=1 descent.
     """
     U = upper_rows.shape[0]
-    dots = jax.lax.dot_general(
-        queries.astype(jnp.bfloat16),
-        upper_rows,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, U]
-    if g.metric == "l2":
-        x2 = jnp.sum(
-            upper_rows.astype(jnp.float32) * upper_rows.astype(jnp.float32),
-            axis=1,
-        )
-        q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
-        scores = jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
-    elif g.metric == "ip":
-        scores = -dots
-    elif g.metric == "cosine":
-        scores = 1.0 - jnp.clip(dots, -1.0, 1.0)
-    else:  # l1 coarse scoring via direct differences (U is small)
-        scores = jnp.sum(
-            jnp.abs(
-                queries[:, None, :]
-                - upper_rows.astype(jnp.float32)[None, :, :]
-            ),
-            axis=-1,
-        )
+    x2 = jnp.sum(
+        upper_rows.astype(jnp.float32) * upper_rows.astype(jnp.float32),
+        axis=1,
+    )
+    scores = _exact_scores(g, queries, upper_rows, x2, approx=True)
     valid = (upper_ids < g.cap) & g.traversable[jnp.clip(upper_ids, 0, g.cap)]
     scores = jnp.where(valid[None, :], scores, jnp.inf)
-    S = min(n_seeds, U)
+    S = min(n_seeds, U, ef)  # seeds must fit the ef-wide beam
     if U >= 16384:
         seed_d, slots = jax.lax.approx_min_k(scores, S, recall_target=0.99)
     else:
@@ -600,8 +580,8 @@ EXACT_ENGINE_MAX_ROWS = 4_000_000
 
 #: corpus rows per chunk of the big-corpus exact sweep: bounds the
 #: [B, CH] score transient to ~1 GB at the serving chunk of 1024
-#: queries, so sweeps scale to any HBM-resident corpus size
-_EXACT_SWEEP_CHUNK = 1 << 21
+#: queries (1024 * 2^18 * 4 B), so sweeps scale to any HBM corpus
+_EXACT_SWEEP_CHUNK = 1 << 18
 
 
 def _exact_scores(g: DeviceGraph, queries, vals, x2, approx: bool):
@@ -781,7 +761,13 @@ def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
     """
     from ..ops import sparse as sparse_ops
 
-    if 0 < dim <= sparse_ops.DENSE_Q_MAX_DIM:
+    # the densified query matrix is [B, dim+1]; guard its footprint
+    # (B and dim are static at trace time)
+    dense_q_ok = (
+        0 < dim <= sparse_ops.DENSE_Q_MAX_DIM
+        and q_indices.shape[0] * (dim + 1) * 4 <= (1 << 30)
+    )
+    if dense_q_ok:
         scores = sparse_ops.pairwise_dense_q(
             g.metric, dim, g.sp_indices, g.sp_values, q_indices, q_values
         )  # [B, cap+1]

@@ -595,19 +595,15 @@ class DeviceBuilder:
         q_rows = data.vectors[safe_ids]  # [B, D]
         my_level = data.levels[safe_ids]  # [B]
 
-        # ---- upper layers first: compact sweep over level>=1 rows
-        # (~N/m of the corpus; slot order is shuffled, so committed /
-        # level-mask validity is uniformly spread across each score
-        # row). Also provides the beam descent's seeds.
-        u_scores = self._score_all(
-            data, q_rows, data.upper_vectors, data.upper_x2
-        )  # [B, upper_pad]
-        width_u = u_scores.shape[1]
+        # ---- upper-row validity (shared by descent seeds and the
+        # upper-layer selection): level>=1 rows, committed and alive.
+        # NOTE: no [B, upper_pad] score matrix is ever materialized —
+        # at 10M rows upper_pad is ~1M and that buffer alone is 4GB
+        # (it OOM'd the build); seeds compute in query chunks and the
+        # per-layer selection scores only the compacted rows.
+        width_u = data.upper_vectors.shape[0]
         u_ids = data.upper_ids
-        u_valid = (u_ids[None, :] < count) & alive[
-            jnp.clip(u_ids, 0, self.cap)
-        ][None, :]
-        u_scores = jnp.where(u_valid & batch_mask[:, None], u_scores, jnp.inf)
+        u_colmask = (u_ids < count) & alive[jnp.clip(u_ids, 0, self.cap)]
         kku = min(self.efc, width_u)
 
         # ---- layer 0 candidates
@@ -652,12 +648,30 @@ class DeviceBuilder:
             # descent regime (width sentinel 0 — ONE program serves all
             # batch positions past the exact floor): beam descent over
             # the as-built graph, seeded with the nearest committed
-            # upper rows
-            S = min(16, width_u - 1, self.efc)
-            neg_sd, seed_slots = jax.lax.top_k(-u_scores, S)
-            seed_ids = u_ids[seed_slots]
-            seed_d = jnp.where(jnp.isfinite(neg_sd), -neg_sd, jnp.inf)
-            seed_ids = jnp.where(jnp.isfinite(neg_sd), seed_ids, -1)
+            # upper rows. S + 1 (entry) must fit the efc-wide beam.
+            S = min(16, width_u - 1, max(self.efc - 1, 1))
+
+            def seed_chunk(q_chunk):
+                sc = self._score_all(
+                    data, q_chunk, data.upper_vectors, data.upper_x2
+                )
+                sc = jnp.where(u_colmask[None, :], sc, jnp.inf)
+                neg, slots = jax.lax.top_k(-sc, S)
+                return -neg, slots
+
+            CQ = 256 if (B % 256 == 0 and width_u > (1 << 17)) else B
+            if CQ < B:
+                sd_c, sl_c = jax.lax.map(
+                    seed_chunk, q_rows.reshape(-1, CQ, self.dim)
+                )
+                seed_sc = sd_c.reshape(B, S)
+                seed_slots = sl_c.reshape(B, S)
+            else:
+                seed_sc, seed_slots = seed_chunk(q_rows)
+            seed_ids = jnp.where(
+                jnp.isfinite(seed_sc), u_ids[seed_slots], -1
+            )
+            seed_d = jnp.where(jnp.isfinite(seed_sc), seed_sc, jnp.inf)
             # measured at 1M: 40 steps matches 64-step recall (0.984)
             # at 1.3x the build rate; scale mildly with capacity
             steps = int(os.environ.get("PGV_BUILD_BEAM_STEPS", 0)) or (
@@ -686,9 +700,12 @@ class DeviceBuilder:
         has_up = (my_level >= 1) & batch_mask
         order_u = jnp.argsort(~has_up)[:RU2]  # stable: active rows first
         cvalid = has_up[order_u]
+        u_scores_c = self._score_all(
+            data, q_rows[order_u], data.upper_vectors, data.upper_x2
+        )  # [RU2, width_u] — scored for the compacted rows only
         u_scores_c = jnp.where(
-            cvalid[:, None], u_scores[order_u], jnp.inf
-        )  # [RU2, width_u]
+            u_colmask[None, :] & cvalid[:, None], u_scores_c, jnp.inf
+        )
 
         def per_upper_layer(lmask):
             s_l = jnp.where(lmask[None, :], u_scores_c, jnp.inf)
@@ -899,20 +916,26 @@ class DeviceBuilder:
 
         # chunk the per-row selection: the [R, lm+K, lm+K] pair tensor
         # (plus sort transients) is what blew HBM at batch 4096 —
-        # R = B*lm0 rows of (lm+K)^2 f32
+        # R = B*lm0 rows of (lm+K)^2 f32. Rows pad up to a chunk
+        # multiple (inert -1/inf rows) so any R chunks.
         CH = 32768
-        if R > CH and R % CH == 0:
+        if R > CH:
+            padr = (-R) % CH
+
+            def padded(a, fill):
+                return jnp.pad(a, ((0, padr), (0, 0)), constant_values=fill)
+
             nd_c, nids_c = jax.lax.map(
                 select_rows,
                 (
-                    old_ids.reshape(-1, CH, old_ids.shape[1]),
-                    old_d.reshape(-1, CH, old_d.shape[1]),
-                    add_ids.reshape(-1, CH, K),
-                    add_d.reshape(-1, CH, K),
+                    padded(old_ids, -1).reshape(-1, CH, old_ids.shape[1]),
+                    padded(old_d, jnp.inf).reshape(-1, CH, old_d.shape[1]),
+                    padded(add_ids, -1).reshape(-1, CH, K),
+                    padded(add_d, jnp.inf).reshape(-1, CH, K),
                 ),
             )
-            nd = nd_c.reshape(R, -1)
-            nids = nids_c.reshape(R, -1)
+            nd = nd_c.reshape(R + padr, -1)[:R]
+            nids = nids_c.reshape(R + padr, -1)[:R]
         else:
             nd, nids = select_rows((old_ids, old_d, add_ids, add_d))
         return head, s_tgt, nids, nd

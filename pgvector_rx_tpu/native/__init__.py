@@ -242,18 +242,42 @@ class NativeGraph:
             lp, tp, len(rows),
         )
 
+    def _bit_row(self, vec) -> np.ndarray:
+        """Normalize a bit row to [dim] u32 words (packed uint8 bytes
+        are word-packed, u32 inputs validated)."""
+        v = np.asarray(vec)
+        row = _bit_words(v) if v.dtype == np.uint8 else np.ascontiguousarray(
+            v, dtype=np.uint32
+        )
+        if row.shape != (self.dim,):
+            raise ValueError(f"expected {self.dim} words, got {row.shape}")
+        return row
+
+    def _sparse_row(self, vec):
+        """Pad a (indices, values) pair to the engine budget."""
+        qi, qv = vec
+        qi = np.asarray(qi, dtype=np.int32)
+        qv = np.asarray(qv, dtype=np.float32)
+        if len(qi) > self.dim:
+            raise ValueError(
+                f"sparse row has {len(qi)} non-zeros, budget is {self.dim}"
+            )
+        pi = np.full(self.dim, _SP_PAD, dtype=np.int32)
+        pv = np.zeros(self.dim, dtype=np.float32)
+        pi[: len(qi)] = qi
+        pv[: len(qv)] = qv
+        return pi, pv
+
     def insert(self, vec, level: int, tid: int) -> int:
         if self.kind == "bit":
-            row = np.ascontiguousarray(vec, dtype=np.uint32)
+            row = self._bit_row(vec)
             return self._lib.hnsw_insert_bit(
                 self._h,
                 row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
                 level, tid,
             )
         if self.kind == "sparse":
-            qi, qv = vec
-            qi = np.ascontiguousarray(qi, dtype=np.int32)
-            qv = np.ascontiguousarray(qv, dtype=np.float32)
+            qi, qv = self._sparse_row(vec)
             return self._lib.hnsw_insert_sparse(
                 self._h,
                 qi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -305,16 +329,14 @@ class NativeGraph:
         ip = ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         dp = dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         if self.kind == "bit":
-            q = np.ascontiguousarray(query, dtype=np.uint32)
+            q = self._bit_row(query)
             n = self._lib.hnsw_search_bit(
                 self._h,
                 q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
                 ef, ip, dp,
             )
         elif self.kind == "sparse":
-            qi, qv = query
-            qi = np.ascontiguousarray(qi, dtype=np.int32)
-            qv = np.ascontiguousarray(qv, dtype=np.float32)
+            qi, qv = self._sparse_row(query)
             n = self._lib.hnsw_search_sparse(
                 self._h,
                 qi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -130,3 +130,25 @@ class TestServingOnlyBuild:
         np.testing.assert_allclose(d0, d1, rtol=1e-5)
         d2, i2 = idx2.search(q, 5, SearchParams(), method="exact")
         assert (i2[:, 0] == np.arange(24)).all()
+
+
+def test_descent_build_small_efc(monkeypatch):
+    """Regression: efc<=16 made the descent beam's seed count equal its
+    width and overflow the init scatter (S+1 > W trace crash)."""
+    from pgvector_rx_tpu.graph import device_build
+
+    # the env knob is read at import time; patch the module constant
+    monkeypatch.setattr(device_build, "_DESCENT_MIN_WIDTH", 2048)
+    rng = np.random.default_rng(12)
+    data = rng.standard_normal((4100, 8)).astype(np.float32)
+    idx = HnswIndex.build(
+        data, metric="l2", method="device",
+        params=IndexParams(m=8, ef_construction=16), seed=2,
+    )
+    assert idx.num_tuples == 4100
+    d, ids = idx.search(
+        data[:8], 3, SearchParams(ef_search=4), method="device"
+    )
+    # small ef through the coarse-seeded beam (regression: 8 seeds
+    # overflowed an ef<8 beam)
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).all()
