@@ -362,12 +362,14 @@ class DeviceBuilder:
 
         self.arrays = BuildArrays(
             neighbors0=jnp.full((cap_pad, self.lm0), -1, dtype=jnp.int32),
-            nbr0_dist=jnp.full((cap_pad, self.lm0), jnp.inf, dtype=jnp.float32),
+            # pruning distances stored bf16: ranking-only state, and the
+            # f32 form is 2GB of HBM at 10M rows
+            nbr0_dist=jnp.full((cap_pad, self.lm0), jnp.inf, dtype=jnp.bfloat16),
             upper_nbrs=jnp.full(
                 (upper_pad, self.lmax * m), -1, dtype=jnp.int32
             ),
             upper_dist=jnp.full(
-                (upper_pad, self.lmax * m), jnp.inf, dtype=jnp.float32
+                (upper_pad, self.lmax * m), jnp.inf, dtype=jnp.bfloat16
             ),
             alive=jnp.zeros((cap_pad,), dtype=jnp.bool_),
             tid_counts=jnp.zeros((cap_pad,), dtype=jnp.int32),
@@ -376,14 +378,17 @@ class DeviceBuilder:
             entry_level=jnp.int32(-1),
         )
         up_vecs_j = jnp.asarray(up_vecs)
+        # fused square+reduce: the eager form materializes a second
+        # full-corpus f32 temp (5.4GB at 10M rows)
+        _x2 = jax.jit(lambda v: jnp.sum(v * v, axis=1))
         self.data = BuildData(
             vectors=self.vectors,
             vectors_bf16=self.vectors.astype(jnp.bfloat16),
-            x2=jnp.sum(self.vectors * self.vectors, axis=1),
+            x2=_x2(self.vectors),
             levels=self.levels,
             upper_slot=self.upper_slot,
             upper_vectors=up_vecs_j,
-            upper_x2=jnp.sum(up_vecs_j * up_vecs_j, axis=1),
+            upper_x2=_x2(up_vecs_j),
             upper_ids=jnp.asarray(up_ids),
             upper_level_masks=jnp.asarray(up_masks),
         )
@@ -845,7 +850,9 @@ class DeviceBuilder:
         fwd_target = jnp.where(alive, new_ids, dump)
         arrays = arrays._replace(
             neighbors0=arrays.neighbors0.at[fwd_target].set(sel_ids[:, 0, :]),
-            nbr0_dist=arrays.nbr0_dist.at[fwd_target].set(sel_d[:, 0, :]),
+            nbr0_dist=arrays.nbr0_dist.at[fwd_target].set(
+                sel_d[:, 0, :].astype(arrays.nbr0_dist.dtype)
+            ),
             alive=arrays.alive.at[fwd_target].set(True).at[dump].set(False),
         )
         slot = data.upper_slot[jnp.clip(new_ids, 0, self.cap)]
@@ -856,7 +863,9 @@ class DeviceBuilder:
                 sel_ids[:, 1:, : self.m].reshape(B, -1)
             ),
             upper_dist=arrays.upper_dist.at[starget].set(
-                sel_d[:, 1:, : self.m].reshape(B, -1)
+                sel_d[:, 1:, : self.m].reshape(B, -1).astype(
+                    arrays.upper_dist.dtype
+                )
             ),
         )
         # entry promotion: first alive element reaching the batch max
@@ -968,7 +977,7 @@ class DeviceBuilder:
         scatter_tgt = jnp.where(head, s_tgt, dump)
         return (
             neighbors0.at[scatter_tgt].set(nids),
-            nbr0_dist.at[scatter_tgt].set(nd),
+            nbr0_dist.at[scatter_tgt].set(nd.astype(nbr0_dist.dtype)),
         )
 
     def _backedge_upper_compact(self, data: BuildData, upper_nbrs, upper_dist,
@@ -1058,7 +1067,9 @@ class DeviceBuilder:
         sslot = jnp.where(head & (slot >= 0), slot_c, dump_slot)
         return (
             upper_nbrs.at[sslot[:, None], ucols].set(nids),
-            upper_dist.at[sslot[:, None], ucols].set(nd),
+            upper_dist.at[sslot[:, None], ucols].set(
+                nd.astype(upper_dist.dtype)
+            ),
         )
 
     def _commit_all_step(self, data: BuildData, arrays: BuildArrays, start,
