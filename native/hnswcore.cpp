@@ -245,10 +245,13 @@ struct Handle {
 
 inline int layer_m(int m, int layer) { return layer == 0 ? 2 * m : m; }
 
-// HNSW Algorithm 2 (graph/mod.rs:161-255 / host.py search_layer)
+// HNSW Algorithm 2 (graph/mod.rs:161-255 / host.py search_layer).
+// `skip_count` (optional, length n_elements): elements in the set are
+// traversed but do not count toward ef (host.py search_layer
+// skip_count parity — the vacuum-repair search, insert.rs:1080-1110).
 std::vector<Cand> search_layer(Handle* h, const RowRef& q,
                                const std::vector<Cand>& entry_points, int ef,
-                               int layer) {
+                               int layer, const uint8_t* skip_count = nullptr) {
     if (++h->visit_epoch == 0) {  // epoch wrap: reset marks
         std::fill(h->visit_mark.begin(), h->visit_mark.end(), 0u);
         h->visit_epoch = 1;
@@ -264,7 +267,7 @@ std::vector<Cand> search_layer(Handle* h, const RowRef& q,
         h->visit_mark[ep.idx] = epoch;
         candidates.push(ep);
         results.push(ep);
-        w_len++;
+        if (!skip_count || !skip_count[ep.idx]) w_len++;
     }
 
     while (!candidates.empty()) {
@@ -290,7 +293,7 @@ std::vector<Cand> search_layer(Handle* h, const RowRef& q,
                 Cand e{ed, ni};
                 candidates.push(e);
                 results.push(e);
-                w_len++;
+                if (!skip_count || !skip_count[ni]) w_len++;
                 if (w_len > (size_t)ef) {
                     results.pop();
                     w_len--;
@@ -436,6 +439,46 @@ int32_t insert_common(Handle* h, int32_t idx, int level, int64_t tid) {
     h->elements[idx].tids.push_back(tid);
     if (h->elements[idx].level > h->elements[h->entry].level) h->entry = idx;
     return idx;
+}
+
+// Vacuum-repair search: find_element_neighbors with a skip set
+// (host.py find_element_neighbors(skip=...) / insert.rs:1080-1110).
+// Skipped elements are traversed but excluded from selection; the
+// ground search widens to efc+1.
+void find_element_neighbors_skip(Handle* h, int32_t idx, int32_t entry_idx,
+                                 const uint8_t* skip) {
+    RowRef q = h->row(idx);
+    int new_level = h->elements[idx].level;
+    int entry_level = h->elements[entry_idx].level;
+
+    std::vector<Cand> ep{{h->dist(q, h->row(entry_idx)), entry_idx}};
+    for (int lc = entry_level; lc > new_level; lc--) {
+        auto w = search_layer(h, q, ep, 1, lc);
+        if (!w.empty()) ep = {w[0]};
+    }
+
+    int ef = h->efc + 1;
+    int start = std::min(new_level, entry_level);
+    for (int lc = start; lc >= 0; lc--) {
+        int lm = layer_m(h->m, lc);
+        auto w = search_layer(h, q, ep, ef, lc, skip);
+        std::vector<Cand> cands;
+        cands.reserve(w.size());
+        for (const Cand& c : w)
+            if (!skip[c.idx]) cands.push_back(c);
+        h->elements[idx].neighbors[lc] = select_neighbors(h, cands, lm);
+        ep = w;
+    }
+}
+
+// vacuum.rs:228-281 / vacuum.py _needs_updated: references a deleted
+// element, or layer-0 list unfilled.
+bool needs_updated(Handle* h, int32_t idx, const uint8_t* del) {
+    const Element& e = h->elements[idx];
+    for (const auto& layer_list : e.neighbors)
+        for (const Cand& c : layer_list)
+            if (del[c.idx]) return true;
+    return (int)e.neighbors[0].size() < layer_m(h->m, 0);
 }
 
 }  // namespace
@@ -613,6 +656,150 @@ int32_t hnsw_search_sparse(void* hp, const int32_t* qi, const float* qv, int ef,
     r.si = qi;
     r.sv = qv;
     return search_impl(h, r, ef, out_ids, out_dists);
+}
+
+// ---------------------------------------------------------------------
+// Arena load (reconstruct an existing index without re-inserting) +
+// vacuum repair (ambulkdelete passes 2-3, vacuum.rs:288-803).
+// ---------------------------------------------------------------------
+
+// Bulk-load element metadata + value rows. `rows` layout depends on the
+// handle kind: dense [n, dim] f32; bit [n, dim] u32 words (pass via
+// rows_u32); sparse via rows_i32/rows_f32 [n, dim] each. `tids` is
+// flattened [n, tid_stride] with per-element counts in `tid_counts`.
+void hnsw_load(void* hp, const float* rows_f32, const uint32_t* rows_u32,
+               const int32_t* rows_i32, const int32_t* levels,
+               const uint8_t* deleted, const int64_t* tids,
+               const int32_t* tid_counts, int tid_stride, int n) {
+    Handle* h = (Handle*)hp;
+    h->elements.clear();
+    h->elements.reserve(n);
+    switch (h->kind) {
+        case DENSE:
+            h->values.assign(rows_f32, rows_f32 + (size_t)n * h->dim);
+            break;
+        case BIT:
+            h->words.assign(rows_u32, rows_u32 + (size_t)n * h->dim);
+            break;
+        case SPARSE:
+            h->sp_idx.assign(rows_i32, rows_i32 + (size_t)n * h->dim);
+            h->sp_val.assign(rows_f32, rows_f32 + (size_t)n * h->dim);
+            break;
+    }
+    for (int i = 0; i < n; i++) {
+        Element e;
+        e.level = levels[i];
+        e.deleted = deleted[i] != 0;
+        e.neighbors.resize(e.level + 1);
+        int tc = tid_counts[i];
+        const int64_t* tp = tids + (size_t)i * tid_stride;
+        e.tids.assign(tp, tp + tc);
+        h->elements.push_back(std::move(e));
+    }
+    h->entry = -1;
+}
+
+// Bulk-load one layer's adjacency: ids/dists [n_rows, width] with -1 id
+// padding; `first` is the first element id of the slab (layer > 0 rows
+// are usually a compacted subset — callers pass element ids in `map`,
+// or map == nullptr for the identity starting at `first`).
+void hnsw_load_neighbors(void* hp, int layer, const int32_t* map, int32_t first,
+                         const int32_t* ids, const float* dists, int n_rows,
+                         int width) {
+    Handle* h = (Handle*)hp;
+    for (int r = 0; r < n_rows; r++) {
+        int32_t el = map ? map[r] : first + r;
+        Element& e = h->elements[el];
+        if (layer > e.level) continue;
+        auto& nb = e.neighbors[layer];
+        nb.clear();
+        for (int j = 0; j < width; j++) {
+            int32_t id = ids[(size_t)r * width + j];
+            if (id < 0) continue;
+            nb.push_back({dists[(size_t)r * width + j], id});
+        }
+    }
+}
+
+void hnsw_set_entry(void* hp, int32_t entry) { ((Handle*)hp)->entry = entry; }
+
+// Vacuum passes 2+3 for fully-dead elements `dels` (vacuum.py
+// _repair_graph + _mark_deleted semantics, mirroring vacuum.rs:288-803):
+// repair the highest survivor first (from the old entry), replace or
+// repair the entry, re-find neighbors (skip = deleted ∪ self) for every
+// live element that references a dead one or has an unfilled ground
+// layer, then mark the dead (clear lists/tids, deleted=1) and drop
+// stale forward references. Version bumps and slot free-lists stay on
+// the caller's side. `repaired_out` (caller-allocated, capacity n)
+// receives the ids whose neighbor lists changed; returns the count.
+int32_t hnsw_vacuum(void* hp, const int32_t* dels, int nd,
+                    int32_t* repaired_out) {
+    Handle* h = (Handle*)hp;
+    int32_t n = (int32_t)h->elements.size();
+    std::vector<uint8_t> del(n, 0);
+    for (int i = 0; i < nd; i++) del[dels[i]] = 1;
+
+    int32_t highest = -1;
+    int best_level = -1;
+    for (int32_t i = 0; i < n; i++) {
+        const Element& e = h->elements[i];
+        if (e.deleted || del[i] || e.tids.empty()) continue;
+        if (e.level > best_level) {
+            highest = i;
+            best_level = e.level;
+        }
+    }
+
+    std::vector<uint8_t> skip = del;
+    int32_t n_repaired = 0;
+    auto repair = [&](int32_t idx, int32_t entry_idx) {
+        if (entry_idx < 0) {
+            Element& e = h->elements[idx];
+            e.neighbors.assign(e.level + 1, {});
+        } else {
+            uint8_t saved = skip[idx];
+            skip[idx] = 1;
+            find_element_neighbors_skip(h, idx, entry_idx, skip.data());
+            skip[idx] = saved;
+        }
+        if (repaired_out) repaired_out[n_repaired] = idx;
+        n_repaired++;
+    };
+
+    if (highest >= 0 && needs_updated(h, highest, del.data()))
+        repair(highest, h->entry);
+    if (h->entry >= 0) {
+        if (del[h->entry]) {
+            h->entry = highest;  // may be -1 -> empty graph
+        } else if (needs_updated(h, h->entry, del.data())) {
+            repair(h->entry, highest >= 0 ? highest : h->entry);
+        }
+    }
+    for (int32_t i = 0; i < n; i++) {
+        const Element& e = h->elements[i];
+        if (e.deleted || del[i] || i == h->entry || i == highest) continue;
+        if (e.tids.empty()) continue;
+        if (needs_updated(h, i, del.data())) repair(i, h->entry);
+    }
+
+    // mark pass + stale forward-reference cleanup
+    for (int i = 0; i < nd; i++) {
+        Element& e = h->elements[dels[i]];
+        e.deleted = true;
+        e.neighbors.assign(e.level + 1, {});
+        e.tids.clear();
+    }
+    for (int32_t i = 0; i < n; i++) {
+        Element& e = h->elements[i];
+        if (e.deleted) continue;
+        for (auto& layer_list : e.neighbors) {
+            layer_list.erase(
+                std::remove_if(layer_list.begin(), layer_list.end(),
+                               [&](const Cand& c) { return del[c.idx]; }),
+                layer_list.end());
+        }
+    }
+    return n_repaired;
 }
 
 // Batch search convenience (OpenMP-free; callers thread if needed)

@@ -39,8 +39,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import hnsw_get_layer_m
+from ..utils.jaxcache import enable as _enable_jax_cache
+
+_enable_jax_cache()
 
 _INT_MAX = np.int32(2**31 - 1)
+
+#: dense-query gather formulation cap for sparse beam serving (matches
+#: ops/sparse.DENSE_Q_MAX_DIM but is independently overridable)
+_SPARSE_DENSE_Q_MAX_DIM = int(
+    os.environ.get("PGV_SPARSE_DENSEQ_MAX", 1 << 20)
+)
 
 
 @dataclass
@@ -196,11 +205,53 @@ def _dist_ids(g: DeviceGraph, q, ids):
         union = aa + bb - ab
         return jnp.where(ab == 0.0, 1.0, 1.0 - ab / jnp.where(union > 0, union, 1.0))
     if g.kind == "sparse":
+        if len(q) == 3:  # (qi, qv, densified query row)
+            qi, qv, qd = q
+            ci = g.sp_indices[safe]
+            cv = g.sp_values[safe]
+            return _sparse_dist_dense(g.metric, qd, qv, ci, cv)
         qi, qv = q
         ci = g.sp_indices[safe]
         cv = g.sp_values[safe]
         return _sparse_dist(g.metric, qi, qv, ci, cv)
     raise ValueError(f"bad kind {g.kind}")
+
+
+def _sparse_dist_dense(metric, qd, qv, ci, cv):
+    """Sparse order-distances via the dense-query gather formulation.
+
+    ``qd [dim+1]`` is the query scattered dense (slot ``dim`` = dummy 0
+    for pads); the matched query value for every candidate entry is one
+    gather ``qd[ci]`` — entries the query lacks read 0, which zeroes
+    exactly the terms the reference's merge join skips
+    (sparsevec.rs:875-1090). Replaces the per-candidate searchsorted
+    (P log P VPU work per pair) on the beam path; same trick as
+    ops/sparse.pairwise_dense_q for the exact sweep.
+
+    ci/cv [..., P]; qv [P] supplies ||q||^2 / |q| totals.
+    """
+    dim = qd.shape[0] - 1
+    cvz = jnp.where(ci != _INT_MAX, cv, 0.0)
+    g_q = qd[jnp.clip(ci, 0, dim)]  # [..., P] matched query values
+    dot = jnp.sum(g_q * cvz, axis=-1)
+    c_sq = jnp.sum(cvz * cvz, axis=-1)
+    q_sq = jnp.sum(qv * qv)
+    if metric == "l2":
+        return jnp.maximum(q_sq + c_sq - 2.0 * dot, 0.0)
+    if metric == "ip":
+        return -dot
+    if metric == "cosine":
+        denom = jnp.sqrt(q_sq * c_sq)
+        sim = jnp.where(denom > 0, dot / jnp.where(denom > 0, denom, 1.0), 0.0)
+        return 1.0 - jnp.clip(sim, -1.0, 1.0)
+    if metric == "l1":
+        q_abs = jnp.sum(jnp.abs(qv))
+        c_abs = jnp.sum(jnp.abs(cvz), axis=-1)
+        corr = jnp.sum(
+            jnp.abs(g_q - cvz) - jnp.abs(g_q) - jnp.abs(cvz), axis=-1
+        )
+        return q_abs + c_abs + corr
+    raise ValueError(metric)
 
 
 def _sparse_dist(metric, qi, qv, ci, cv):
@@ -963,9 +1014,27 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
             )
     elif index.kind == "sparse":
         qtuple = queries
-        beam_d, beam_ids, _ = jax.vmap(
-            lambda qi, qv: _search_one_sparse(g, (qi, qv), ef, max_steps)
-        )(qtuple[0], qtuple[1])
+        # dense-query gather distances when the [B, dim+1] densified
+        # query matrix is affordable (it almost always is: HNSW caps
+        # sparse dim at 1000 nnz but dim itself can be large) —
+        # replaces the per-candidate searchsorted with one gather
+        use_dense_q = (
+            0 < index.dim <= _SPARSE_DENSE_Q_MAX_DIM
+            and B * (index.dim + 1) * 4 <= (1 << 30)
+        )
+        if use_dense_q:
+            from ..ops.sparse import densify_queries
+
+            qd = densify_queries(qtuple[0], qtuple[1], index.dim)
+            beam_d, beam_ids, _ = jax.vmap(
+                lambda qi, qv, qdr: _search_one_sparse(
+                    g, (qi, qv, qdr), ef, max_steps
+                )
+            )(qtuple[0], qtuple[1], qd)
+        else:
+            beam_d, beam_ids, _ = jax.vmap(
+                lambda qi, qv: _search_one_sparse(g, (qi, qv), ef, max_steps)
+            )(qtuple[0], qtuple[1])
     else:
         upper = _coarse_upper(g)
         if upper is not None:

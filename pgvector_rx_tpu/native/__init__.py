@@ -178,6 +178,31 @@ def _load():
         p(c_i32),
         p(c_f32),
     ]
+    lib.hnsw_load.argtypes = [
+        ctypes.c_void_p,
+        p(c_f32),
+        p(c_u32),
+        p(c_i32),
+        p(c_i32),
+        p(ctypes.c_uint8),
+        p(c_i64),
+        p(c_i32),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.hnsw_load_neighbors.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        p(c_i32),
+        c_i32,
+        p(c_i32),
+        p(c_f32),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.hnsw_set_entry.argtypes = [ctypes.c_void_p, c_i32]
+    lib.hnsw_vacuum.restype = c_i32
+    lib.hnsw_vacuum.argtypes = [ctypes.c_void_p, p(c_i32), ctypes.c_int, p(c_i32)]
     _lib = lib
     return _lib
 
@@ -374,6 +399,125 @@ def _bit_words(packed: np.ndarray) -> np.ndarray:
     if pad:
         packed = np.concatenate([packed, np.zeros(pad, np.uint8)])
     return packed.view(np.uint32)
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_vacuum(index, deleted) -> list[int]:
+    """Vacuum graph repair (ambulkdelete pass 2) via the native engine.
+
+    Reconstructs the arena from the index (bulk load, no re-insertion),
+    runs hnsw_vacuum (repair-with-skip + mark + stale-ref cleanup with
+    vacuum.py's exact pass order), writes the repaired neighbor lists
+    and the new entry back into the Python index, and returns the list
+    of repaired element ids. The caller still runs the Python mark pass
+    (store zeroing, version bumps, free slots).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    n = len(index.elements)
+    m = index.params.m
+    if n == 0:
+        return []
+
+    # --- value rows
+    null_f32 = ctypes.POINTER(ctypes.c_float)()
+    null_u32 = ctypes.POINTER(ctypes.c_uint32)()
+    null_i32 = ctypes.POINTER(ctypes.c_int32)()
+    if index.kind == "dense":
+        rows = np.ascontiguousarray(index.store.rows[:n], dtype=np.float32)
+        ng = NativeGraph(index.dim, m, index.params.ef_construction, index.metric)
+        row_args = (_ptr(rows, ctypes.c_float), null_u32, null_i32)
+    elif index.kind == "bit":
+        packed = np.ascontiguousarray(index.store.rows[:n])
+        pad = (-packed.shape[1]) % 4
+        if pad:
+            packed = np.concatenate(
+                [packed, np.zeros((n, pad), np.uint8)], axis=1
+            )
+        words = np.ascontiguousarray(packed).view(np.uint32)
+        ng = NativeGraph(
+            words.shape[1], m, index.params.ef_construction, index.metric,
+            kind="bit",
+        )
+        row_args = (null_f32, _ptr(words, ctypes.c_uint32), null_i32)
+    else:
+        sp_i = np.ascontiguousarray(index.store.indices[:n], dtype=np.int32)
+        sp_v = np.ascontiguousarray(index.store.values[:n], dtype=np.float32)
+        ng = NativeGraph(
+            sp_i.shape[1], m, index.params.ef_construction, index.metric,
+            kind="sparse",
+        )
+        row_args = (_ptr(sp_v, ctypes.c_float), null_u32, _ptr(sp_i, ctypes.c_int32))
+
+    # --- element metadata
+    levels = np.fromiter(
+        (e.level for e in index.elements), dtype=np.int32, count=n
+    )
+    dels_flag = np.fromiter(
+        (e.deleted for e in index.elements), dtype=np.uint8, count=n
+    )
+    TS = 10
+    tids = np.zeros((n, TS), dtype=np.int64)
+    tid_counts = np.zeros(n, dtype=np.int32)
+    for i, ts in enumerate(index.heap_tids[:n]):
+        k = min(len(ts), TS)
+        tid_counts[i] = k
+        tids[i, :k] = ts[:k]
+    lib.hnsw_load(
+        ng._h, *row_args, _ptr(levels, ctypes.c_int32),
+        _ptr(dels_flag, ctypes.c_uint8), _ptr(tids, ctypes.c_int64),
+        _ptr(tid_counts, ctypes.c_int32), TS, n,
+    )
+
+    # --- adjacency per layer (layer 0 dense slab; upper layers compacted)
+    from ..constants import hnsw_get_layer_m
+
+    lmax = max((e.level for e in index.elements), default=0)
+    for lc in range(lmax + 1):
+        width = hnsw_get_layer_m(m, lc)
+        if lc == 0:
+            el_ids = range(n)
+            n_rows = n
+            map_arg = ctypes.POINTER(ctypes.c_int32)()
+        else:
+            el_ids = [i for i, e in enumerate(index.elements) if e.level >= lc]
+            n_rows = len(el_ids)
+            if n_rows == 0:
+                continue
+            map_arr = np.asarray(el_ids, dtype=np.int32)
+            map_arg = _ptr(map_arr, ctypes.c_int32)
+        ids = np.full((n_rows, width), -1, dtype=np.int32)
+        ds = np.zeros((n_rows, width), dtype=np.float32)
+        for r, ei in enumerate(el_ids):
+            nb = index.elements[ei].neighbors
+            row = nb[lc] if lc < len(nb) else []
+            for j, (d, nid) in enumerate(row[:width]):
+                ids[r, j] = nid
+                ds[r, j] = d
+        lib.hnsw_load_neighbors(
+            ng._h, lc, map_arg, 0, _ptr(ids, ctypes.c_int32),
+            _ptr(ds, ctypes.c_float), n_rows, width,
+        )
+    lib.hnsw_set_entry(ng._h, index.entry if index.entry is not None else -1)
+
+    # --- run vacuum, read back repaired lists + entry
+    dels = np.asarray(sorted(deleted), dtype=np.int32)
+    repaired_buf = np.zeros(n, dtype=np.int32)
+    cnt = lib.hnsw_vacuum(
+        ng._h, _ptr(dels, ctypes.c_int32), len(dels),
+        _ptr(repaired_buf, ctypes.c_int32),
+    )
+    repaired = repaired_buf[:cnt].tolist()
+    for ei in repaired:
+        _, _, layers = ng.element(ei)
+        index.elements[ei].neighbors = layers
+    entry = lib.hnsw_entry(ng._h)
+    index.entry = entry if entry >= 0 else None
+    return repaired
 
 
 def native_bulk_build(index, data, ids) -> None:

@@ -456,6 +456,77 @@ class TestOtherTypes:
         _, ids = idx.search([rows[i] for i in range(10)], 5, method="host")
         assert recall_at_k(ids, gt, 5) >= 0.95
 
+    def test_sparse_beam_engine_dense_q(self):
+        """Sparse graph beam serving (dense-query gather distances) vs
+        host scan and searchsorted beam: identical result sets."""
+        import os
+
+        rng = np.random.default_rng(46)
+        dense = rng.random((300, 60)).astype(np.float32)
+        dense[rng.random((300, 60)) < 0.8] = 0.0
+        dense[:, 0] += 0.01
+        rows = [SparseVec.from_dense(r) for r in dense]
+        idx = HnswIndex.build(rows, metric="l2", method="host", seed=17)
+        gt = brute_force(dense, dense[:10], "l2", 5)
+        queries = [rows[i] for i in range(10)]
+        params = SearchParams(ef_search=40)
+        _, ids_beam = idx.search(queries, 5, params, method="device")
+        assert recall_at_k(ids_beam, gt, 5) >= 0.95
+        # searchsorted fallback must agree (dense-q disabled via cap)
+        from pgvector_rx_tpu.graph import device as device_mod
+
+        old = device_mod._SPARSE_DENSE_Q_MAX_DIM
+        device_mod._SPARSE_DENSE_Q_MAX_DIM = 0
+        try:
+            _, ids_ss = idx.search(queries, 5, params, method="device")
+        finally:
+            device_mod._SPARSE_DENSE_Q_MAX_DIM = old
+        assert np.array_equal(ids_beam, ids_ss)
+
+    def test_sparse_highdim_insert_delete_vacuum_stress(self):
+        """038_hnsw_sparsevec_vacuum_insert analog: 100k-dim sparsevec
+        through insert/delete/vacuum cycles stays consistent."""
+        rng = np.random.default_rng(47)
+        DIM, NNZ, N = 100_000, 24, 240
+        idx = HnswIndex(DIM, metric="l2", kind="sparse",
+                        params=IndexParams(m=8, ef_construction=16))
+
+        def row(r):
+            cols = np.sort(r.choice(DIM, size=NNZ, replace=False)).astype(np.int32)
+            return cols, r.random(NNZ).astype(np.float32) + 0.1
+
+        tid = 0
+        live = {}
+        for cycle in range(3):
+            for _ in range(N // 3):
+                c, v = row(rng)
+                idx.insert((c, v), tid)
+                live[tid] = (c, v)
+                tid += 1
+            dead = sorted(live)[: len(live) // 2]
+            idx.delete(dead)
+            for t in dead:
+                del live[t]
+            idx.vacuum()
+            # 038 is an integrity stress, not a recall test: random
+            # disjoint-support sparse rows concentrate distances and
+            # fragment ANY HNSW graph (the reference's heuristic
+            # back-edge pruning drops sole in-edges the same way).
+            # Graph scan: returns live tids only. Exact sweep: must
+            # find every survivor (validates store/TID mapping through
+            # the delete/vacuum cycles).
+            probe = sorted(live)[:8]
+            qs = [live[t] for t in probe]
+            _, ids = idx.search(qs, 1, SearchParams(ef_search=64),
+                                method="host")
+            got = [int(np.asarray(i).ravel()[0]) for i in ids]
+            assert all(g in live for g in got), (cycle, got)
+            _, ids_x = idx.search(qs, 1, SearchParams(ef_search=64),
+                                  method="exact")
+            got_x = [int(np.asarray(i).ravel()[0]) for i in ids_x]
+            assert got_x == probe, (cycle, got_x, probe)
+        assert idx.count == len(live)
+
     def test_sparse_nnz_cap(self):
         from pgvector_rx_tpu import constants as C
 

@@ -28,6 +28,43 @@ class TestNativeParity:
             assert ae.level == be.level
             assert ae.neighbors == be.neighbors
 
+    def test_native_vacuum_parity_on_integer_data(self, monkeypatch):
+        """Native vacuum repair must produce the same graph as the
+        Python repair (integer data -> exact f32 distances)."""
+        rng = np.random.default_rng(11)
+        data = rng.integers(0, 50, size=(400, 8)).astype(np.float32)
+        dead = list(range(0, 400, 3))
+
+        a = HnswIndex.build(data, metric="l2", method="host", seed=9)
+        monkeypatch.setenv("PGV_DISABLE_NATIVE", "1")
+        a.delete(dead)
+        monkeypatch.delenv("PGV_DISABLE_NATIVE")
+
+        b = HnswIndex.build(data, metric="l2", method="host", seed=9)
+        b.delete(dead)  # native repair path
+
+        assert a.entry == b.entry
+        for i, (ae, be) in enumerate(zip(a.elements, b.elements)):
+            assert ae.deleted == be.deleted, i
+            assert ae.neighbors == be.neighbors, i
+        # graph still works
+        gt = brute_force(
+            np.delete(data, dead, axis=0), data[1:2], "l2", 5
+        )
+        _, ids = b.search(data[1:2], 5, SearchParams(ef_search=40),
+                          method="host")
+        live = [t for t in ids[0] if t >= 0]
+        assert len(live) == 5
+
+    def test_native_vacuum_delete_all_but_one(self):
+        rng = np.random.default_rng(12)
+        data = rng.integers(0, 50, size=(120, 6)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=13)
+        idx.delete(list(range(1, 120)))
+        _, ids = idx.search(data[0], 1, SearchParams(ef_search=10),
+                            method="host")
+        assert np.asarray(ids).ravel()[0] == 0
+
     @pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
     def test_recall(self, metric):
         rng = np.random.default_rng(80)
