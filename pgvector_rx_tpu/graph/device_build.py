@@ -34,6 +34,7 @@ not device time, otherwise dominates on fresh shapes).
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import sys
@@ -478,7 +479,7 @@ class DeviceBuilder:
 
     def _beam_ground_candidates(
         self, data: BuildData, neighbors0, alive, entry, q_rows, seed_d,
-        seed_ids, steps: int, expand: int,
+        seed_ids, steps: int, expand: int, dedup: bool = True,
     ):
         """Ground-layer candidate generation by batched beam descent.
 
@@ -543,23 +544,46 @@ class DeviceBuilder:
                 all_ids = jnp.concatenate([bids, ids_new])
                 all_d = jnp.concatenate([bd, d_new])
                 all_exp = jnp.concatenate([bexp, exp_new])
-                # dedup by id, preferring the expanded copy (so nodes
-                # already expanded in-beam are never re-expanded)
-                o_ids, o_nexp, o_d = jax.lax.sort(
-                    [all_ids, 1 - all_exp, all_d], num_keys=2
-                )
-                dup = jnp.concatenate(
-                    [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
-                )
-                o_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
-                sd, sids, sexp = jax.lax.sort(
-                    [o_d, o_ids, 1 - o_nexp], num_keys=2
-                )
+                if dedup:
+                    # dedup by id, preferring the expanded copy (so nodes
+                    # already expanded in-beam are never re-expanded)
+                    o_ids, o_nexp, o_d = jax.lax.sort(
+                        [all_ids, 1 - all_exp, all_d], num_keys=2
+                    )
+                    dup = jnp.concatenate(
+                        [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+                    )
+                    o_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
+                    sd, sids, sexp = jax.lax.sort(
+                        [o_d, o_ids, 1 - o_nexp], num_keys=2
+                    )
+                else:
+                    # no-dedup merge: one distance sort. A node can sit
+                    # in the beam twice (its unexpanded copy may be
+                    # re-expanded — bounded wasted work); the expansion
+                    # top_k's unexp masking still drives the walk
+                    # forward, and duplicate final candidates collapse
+                    # in Alg-4 selection (pair distance 0 prunes the
+                    # copy). Recall parity is bench-verified.
+                    sd, sids, sexp = jax.lax.sort(
+                        [all_d, all_ids, all_exp], num_keys=1
+                    )
                 return sd[:W], sids[:W], sexp[:W]
 
             bd, bids, _ = jax.lax.fori_loop(
                 0, steps, body, (init_d, init_ids, init_exp)
             )
+            if not dedup:
+                # one final dedup instead of per-step: duplicate ids
+                # must not reach Alg-4 selection (a zero-distance copy
+                # would survive via backfill and waste an edge slot)
+                o_ids, o_d = jax.lax.sort([bids, bd], num_keys=1)
+                dup = jnp.concatenate(
+                    [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+                )
+                o_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
+                bd, bids = jax.lax.sort([o_d, o_ids], num_keys=1)
+                bids = jnp.where(jnp.isfinite(bd), bids, -1)
             return bd, bids
 
         return jax.vmap(one)(q_rows, seed_d, seed_ids)
@@ -691,9 +715,10 @@ class DeviceBuilder:
                 16, 8 + int(math.log2(self.cap + 1))
             )
             expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
+            dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
             cand_d, cand_idx = self._beam_ground_candidates(
                 data, arrays.neighbors0, alive, arrays.entry, q_rows,
-                seed_d, seed_ids, steps, expand,
+                seed_d, seed_ids, steps, expand, dedup,
             )
         sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
 
@@ -1401,6 +1426,259 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     entry = int(np.asarray(builder.arrays.entry))
     index.entry = entry if entry >= 0 else None
     index._invalidate_device()
+
+
+@functools.partial(jax.jit, static_argnames=("metric_code",))
+def _edge_distances(metric_code, vectors, src_ids, nbr_ids):
+    """Exact f32 order distances d(src, nbr) for seeded adjacency rows.
+
+    src_ids [R], nbr_ids [R, W] (-1 pads -> inf). Used when transplanting
+    an existing graph into a DeviceBuilder (bulk insert): the builder
+    needs current neighbor distances for back-edge re-selection, and
+    recomputing them on device is faster and exact vs. pulling
+    host-side lists.
+    """
+    cap = vectors.shape[0] - 1
+    CH = 8192
+    R, W = nbr_ids.shape
+    pad = (-R) % CH
+
+    src_p = jnp.pad(src_ids, (0, pad), constant_values=cap)
+    nbr_p = jnp.pad(nbr_ids, ((0, pad), (0, 0)), constant_values=-1)
+
+    def chunk(args):
+        s, nb = args  # [CH], [CH, W]
+        q = vectors[jnp.clip(s, 0, cap)]  # [CH, D]
+        rows = vectors[jnp.clip(nb, 0, cap)]  # [CH, W, D]
+        if metric_code == 0:  # l2
+            d = jnp.sum((rows - q[:, None, :]) ** 2, axis=-1)
+        elif metric_code == 1:  # ip
+            d = -jnp.sum(rows * q[:, None, :], axis=-1)
+        elif metric_code == 2:  # cosine
+            d = 1.0 - jnp.clip(jnp.sum(rows * q[:, None, :], axis=-1), -1.0, 1.0)
+        else:  # l1
+            d = jnp.sum(jnp.abs(rows - q[:, None, :]), axis=-1)
+        return jnp.where(nb >= 0, d, jnp.inf)
+
+    parts = jax.lax.map(
+        chunk, (src_p.reshape(-1, CH), nbr_p.reshape(-1, CH, W))
+    )
+    return parts.reshape(-1, W)[:R]
+
+
+_METRIC_CODES = {"l2": 0, "ip": 1, "cosine": 2, "l1": 3}
+
+
+def _seed_builder_from_graph(builder: DeviceBuilder, g, n0: int) -> None:
+    """Transplant an existing DeviceGraph (n0 committed elements) into a
+    fresh builder's arrays so batches can insert on top of it."""
+    mc = _METRIC_CODES[builder.metric]
+    lm0 = builder.lm0
+    m = builder.m
+
+    nb0 = np.full((builder.cap + 1, lm0), -1, dtype=np.int32)
+    nb0[:n0] = np.asarray(g.neighbors0)[:n0, :lm0]
+    nb0_j = jnp.asarray(nb0)
+    src = jnp.arange(builder.cap + 1, dtype=jnp.int32)
+    nbr0_dist = _edge_distances(mc, builder.data.vectors, src, nb0_j)
+
+    # upper adjacency: translate old slot/layout -> builder slot/layout
+    old_slot = np.asarray(g.upper_slot)[:n0]
+    old_upper = np.asarray(g.upper_neighbors)
+    lmax_old = old_upper.shape[1] // max(g.m, 1)
+    lc_common = min(lmax_old, builder.lmax)
+    new_slot_all = np.asarray(builder.upper_slot)[:n0]
+    eids = np.nonzero(old_slot >= 0)[0]
+    up_pad = builder.upper_dump + 1
+    new_upper = np.full((up_pad, builder.lmax * m), -1, dtype=np.int32)
+    if len(eids):
+        ns = new_slot_all[eids]
+        new_upper[ns, : lc_common * m] = old_upper[
+            old_slot[eids], : lc_common * m
+        ]
+    up_j = jnp.asarray(new_upper)
+    up_dist = _edge_distances(
+        mc, builder.data.vectors, builder.data.upper_ids, up_j
+    )
+
+    alive = np.zeros(builder.cap + 1, dtype=bool)
+    alive[:n0] = np.asarray(g.traversable)[:n0]
+    tid_counts = np.zeros(builder.cap + 1, dtype=np.int32)
+    tid_counts[:n0] = np.asarray(g.tid_count)[:n0]
+
+    builder.arrays = BuildArrays(
+        neighbors0=nb0_j,
+        nbr0_dist=nbr0_dist.astype(builder.arrays.nbr0_dist.dtype),
+        upper_nbrs=up_j,
+        upper_dist=up_dist.astype(builder.arrays.upper_dist.dtype),
+        alive=jnp.asarray(alive),
+        tid_counts=jnp.asarray(tid_counts),
+        absorb=jnp.full((builder.cap + 1,), -1, dtype=jnp.int32),
+        entry=jnp.int32(g.entry),
+        entry_level=jnp.int32(g.entry_level),
+    )
+
+
+def bulk_insert(index, data, ids) -> int:
+    """Batched device insert into an EXISTING dense index — aminsert at
+    bulk-build throughput.
+
+    The reference serializes inserts per backend under UPDATE_LOCK
+    (insert.rs:1281-1313); the TPU-native equivalent inserts frozen-
+    snapshot batches with the same machinery as the bulk build: the
+    existing graph is transplanted into builder arrays (neighbor
+    distances recomputed exactly on device), new rows append to fresh
+    slots, and each batch runs candidate search + Alg-4 selection +
+    deterministic back-edge resolution on device. Duplicate folding
+    works across old and new elements (10-TID cap); entry promotion
+    follows UPDATE_ENTRY_GREATER. Deviation from aminsert: vacuumed
+    free slots are NOT reused (new slots append; the sequential
+    insert() path keeps exact slot-reuse parity).
+
+    Returns the number of elements inserted (excluding folded TIDs).
+    """
+    if index.kind != "dense":
+        raise ValueError("bulk_insert supports dense indexes only")
+    arr, kept_tids = _prepare_dense_bulk(index, data, ids)
+    if index.dtype is not None and index.dtype != np.float32:
+        arr = arr.astype(index.dtype).astype(np.float32)
+    n_new = len(arr)
+    if n_new == 0:
+        return 0
+    n0 = len(index.elements) if not index.serving_only else index.store.count
+    if n0 == 0 or index.entry is None:
+        bulk_build(index, arr, kept_tids, host_graph=not index.serving_only)
+        return len(arr)
+
+    g = index.device_graph()
+    old_rows = np.asarray(index.store.rows[:n0], dtype=np.float32)
+    vectors = np.concatenate([old_rows, arr])
+    old_levels = (
+        np.fromiter((e.level for e in index.elements), np.int32, n0)
+        if not index.serving_only
+        else np.asarray(g.levels)[:n0]
+    )
+    new_levels = np.array(
+        [index.random_level() for _ in range(n_new)], dtype=np.int32
+    )
+    levels = np.concatenate([old_levels.astype(np.int32), new_levels])
+
+    builder = DeviceBuilder(
+        index.metric, vectors, levels, index.params.m,
+        index.params.ef_construction,
+        batch_max=int(os.environ.get("PGV_BUILD_BATCH", 0)) or 1024,
+    )
+    _seed_builder_from_graph(builder, g, n0)
+    levels_cl = np.asarray(builder.levels)[: n0 + n_new]  # lmax-clamped
+
+    # Doubling sub-batches (64, 128, ... batch_max): a large insert set
+    # can be mutually nearest (a new cluster); frozen-snapshot batches
+    # don't see each other, so later sub-batches must supply the
+    # intra-set edges earlier rows need to be reachable (the sequential
+    # aminsert chain gives this for free; doubling bounds the blind
+    # fraction the same way the build schedule does).
+    sched = []
+    pos = n0
+    size = 64
+    while pos < n0 + n_new:
+        take = min(size, builder.batch_max, n0 + n_new - pos)
+        sched.append((pos, take))
+        pos += take
+        size = min(size * 2, builder.batch_max)
+    builder.run_all(sched)
+
+    # --- fold duplicate TIDs (old or new targets), in insertion order
+    absorb = np.asarray(builder.arrays.absorb)[: n0 + n_new]
+    new_tids: list[list[int]] = [[t] for t in kept_tids]
+
+    def tids_of(e):
+        return new_tids[e - n0] if e >= n0 else index.heap_tids[e]
+
+    for e in range(n0, n0 + n_new):
+        t = int(absorb[e])
+        if t >= 0:
+            tids_of(t).extend(new_tids[e - n0])
+            new_tids[e - n0] = []
+
+    store_dtype = index.dtype or np.float32
+    if index.serving_only:
+        for i in range(n_new):
+            index.store.append(arr[i].astype(store_dtype))
+        index.heap_tids.extend(new_tids)
+        entry = int(np.asarray(builder.arrays.entry))
+        index.entry = entry if entry >= 0 else None
+        index._device = _device_graph_from_builder(
+            index, builder, index.heap_tids
+        )
+        index.stats["inserts"] += n_new
+        return sum(1 for t in new_tids if t)
+
+    # --- host-graph update: append new elements; rewrite only the rows
+    # whose adjacency changed (back-edge targets)
+    from ..graph.host import GraphElement
+
+    nb0_new = np.asarray(builder.arrays.neighbors0)
+    nb0d_new = np.asarray(builder.arrays.nbr0_dist)
+    up_new = np.asarray(builder.arrays.upper_nbrs)
+    upd_new = np.asarray(builder.arrays.upper_dist)
+    upper_slot = np.asarray(builder.upper_slot)
+    old_nb0 = np.full((n0, builder.lm0), -1, dtype=np.int32)
+    old_nb0[:] = np.asarray(g.neighbors0)[:n0, : builder.lm0]
+    changed = set(np.nonzero((nb0_new[:n0] != old_nb0).any(axis=1))[0].tolist())
+    # upper rows: compare translated old vs new
+    old_slot = np.asarray(g.upper_slot)[:n0]
+    for eid in np.nonzero(old_slot >= 0)[0]:
+        s = upper_slot[eid]
+        lmax_old = np.asarray(g.upper_neighbors).shape[1] // max(g.m, 1)
+        lc_common = min(lmax_old, builder.lmax)
+        if not np.array_equal(
+            up_new[s, : lc_common * builder.m],
+            np.asarray(g.upper_neighbors)[old_slot[eid], : lc_common * builder.m],
+        ):
+            changed.add(int(eid))
+
+    def lists_from_arrays(eid):
+        lev = int(levels_cl[eid])
+        e = GraphElement(level=lev)
+        e.neighbors[0] = [
+            (float(d), int(v))
+            for d, v in zip(nb0d_new[eid], nb0_new[eid])
+            if v >= 0
+        ]
+        if lev >= 1:
+            s = upper_slot[eid]
+            for lc in range(1, lev + 1):
+                cols = slice((lc - 1) * builder.m, lc * builder.m)
+                e.neighbors[lc] = [
+                    (float(d), int(v))
+                    for d, v in zip(upd_new[s, cols], up_new[s, cols])
+                    if v >= 0
+                ]
+        return e
+
+    for i in range(n_new):
+        eid = n0 + i
+        index.store.append(arr[i].astype(store_dtype))
+        index.elements.append(lists_from_arrays(eid))
+        index.heap_tids.append(new_tids[i])
+        assert len(index.elements) == index.store.count
+
+    for eid in changed:
+        if index.elements[eid].deleted:
+            continue
+        old_ver = index.elements[eid].version
+        repl = lists_from_arrays(eid)
+        repl.version = old_ver
+        index.elements[eid] = repl
+
+    entry = int(np.asarray(builder.arrays.entry))
+    index.entry = entry if entry >= 0 else None
+    index.stats["inserts"] += n_new
+    index._invalidate_device()
+    if index._log is not None:
+        for row, tid in zip(arr, kept_tids):
+            index._log.record_insert(row, tid)
+    return sum(1 for t in new_tids if t)
 
 
 def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids):

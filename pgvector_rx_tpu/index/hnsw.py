@@ -313,6 +313,19 @@ class HnswIndex:
             self._log.record_insert(value, tid)
         return out
 
+    def insert_bulk(self, values, tids: Optional[Sequence[int]] = None) -> int:
+        """Batched device insert (dense): aminsert semantics at bulk-build
+        throughput — frozen-snapshot batches over the existing graph
+        (graph/device_build.bulk_insert). Works on serving-only indexes
+        too (swaps the device graph in place). Returns elements added
+        (folded duplicate TIDs excluded)."""
+        from ..graph import device_build
+
+        if tids is None:
+            base = self.num_tuples
+            tids = range(base, base + len(values))
+        return device_build.bulk_insert(self, values, list(tids))
+
     def add_batch(self, values, tids: Optional[Sequence[int]] = None) -> None:
         """Sequential host bulk-load (ambuild's heap-scan loop,
         build.rs:400-535)."""

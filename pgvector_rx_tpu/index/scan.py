@@ -322,7 +322,9 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
         "auto": "auto",
     }.get(method)
     use_device = method in ("device", "exact", "approx") or (
-        method == "auto" and index.kind == "dense" and len(qlist) >= 32
+        method == "auto"
+        and index.kind == "dense"
+        and (len(qlist) >= 32 or index.serving_only)
     )
     if use_device:
         from ..graph import device as device_mod

@@ -132,6 +132,82 @@ class TestServingOnlyBuild:
         assert (i2[:, 0] == np.arange(24)).all()
 
 
+class TestBulkInsert:
+    """Batched device insert into an existing index (insert_bulk)."""
+
+    def test_insert_recall(self):
+        rng = np.random.default_rng(60)
+        base = rng.standard_normal((1000, 12)).astype(np.float32)
+        extra = rng.standard_normal((1000, 12)).astype(np.float32)
+        idx = HnswIndex.build(base, metric="l2", method="device", seed=61)
+        added = idx.insert_bulk(extra)
+        assert added == 1000
+        assert len(idx.elements) == 2000
+        data = np.concatenate([base, extra])
+        q = rng.standard_normal((20, 12)).astype(np.float32)
+        gt = brute_force(data, q, "l2", 10)
+        _, ids = idx.search(q, 10, SearchParams(ef_search=40), method="host")
+        assert recall_at_k(ids, gt, 10) >= 0.97
+
+    def test_new_rows_reachable_from_old_graph(self):
+        rng = np.random.default_rng(62)
+        base = rng.standard_normal((600, 8)).astype(np.float32)
+        extra = rng.standard_normal((200, 8)).astype(np.float32) + 3.0
+        idx = HnswIndex.build(base, metric="l2", method="device", seed=63)
+        idx.insert_bulk(extra, tids=range(600, 800))
+        # every inserted row finds itself through the graph scan
+        _, ids = idx.search(extra[:20], 1, SearchParams(ef_search=40),
+                            method="host")
+        got = np.asarray(ids).ravel()
+        assert (got == np.arange(600, 620)).mean() >= 0.9
+
+    def test_duplicate_folding_into_existing(self):
+        rng = np.random.default_rng(64)
+        base = rng.standard_normal((300, 6)).astype(np.float32)
+        idx = HnswIndex.build(base, metric="l2", method="device", seed=65)
+        n0 = len(idx.elements)
+        # re-insert copies of existing rows: TIDs fold, no new elements
+        added = idx.insert_bulk(base[:40].copy(), tids=range(1000, 1040))
+        assert added == 0
+        assert idx.num_tuples == 340
+        counts = [len(t) for t in idx.heap_tids[:40]]
+        assert all(c == 2 for c in counts)
+
+    def test_entry_promotion_and_empty_index(self):
+        rng = np.random.default_rng(66)
+        idx = HnswIndex(8, metric="l2")
+        idx.insert_bulk(rng.standard_normal((500, 8)).astype(np.float32))
+        assert idx.entry is not None
+        assert idx.count == 500
+        lev = max(e.level for e in idx.elements)
+        assert idx.elements[idx.entry].level == lev
+
+    def test_after_delete_not_candidates(self):
+        rng = np.random.default_rng(67)
+        base = rng.standard_normal((400, 8)).astype(np.float32)
+        idx = HnswIndex.build(base, metric="l2", method="device", seed=68)
+        idx.delete(range(200))
+        extra = rng.standard_normal((100, 8)).astype(np.float32)
+        idx.insert_bulk(extra, tids=range(400, 500))
+        _, ids = idx.search(extra[:10], 3, SearchParams(ef_search=40),
+                            method="host")
+        flat = np.asarray(ids).ravel()
+        assert not set(flat.tolist()) & set(range(200))
+
+    def test_serving_only_bulk_insert(self):
+        rng = np.random.default_rng(69)
+        base = rng.standard_normal((500, 8)).astype(np.float32)
+        idx = HnswIndex.build(base, metric="l2", method="device",
+                              host_graph=False)
+        extra = rng.standard_normal((100, 8)).astype(np.float32)
+        idx.insert_bulk(extra, tids=range(500, 600))
+        data = np.concatenate([base, extra])
+        q = extra[:10]
+        gt = brute_force(data, q, "l2", 5)
+        _, ids = idx.search(q, 5, SearchParams(ef_search=40))
+        assert recall_at_k(ids, gt, 5) >= 0.95
+
+
 def test_descent_build_small_efc(monkeypatch):
     """Regression: efc<=16 made the descent beam's seed count equal its
     width and overflow the init scatter (S+1 > W trace crash)."""
