@@ -91,6 +91,11 @@ class BuildArrays(NamedTuple):
     absorb: jax.Array  # [cap+1] int32 duplicate-fold target (-1 = none)
     entry: jax.Array  # scalar int32 (-1 empty)
     entry_level: jax.Array  # scalar int32
+    # IVF ground-candidate state (PGV_BUILD_GROUND=ivf): per upper row
+    # ("center"), the committed element ids assigned to it. [(1,1)/(1,)
+    # placeholders when the beam generator is active.]
+    members: jax.Array  # [U+1, CAP_M] int32, -1 pad (flat-scattered)
+    member_counts: jax.Array  # [U+1] int32
 
 
 class BuildData(NamedTuple):
@@ -313,6 +318,14 @@ class DeviceBuilder:
         self.batch_max = batch_max
         self.lm0 = hnsw_get_layer_m(m, 0)
         self.descent_min = _DESCENT_MIN_WIDTH
+        # Ground-candidate generator past the exact floor: "beam" walks
+        # the as-built graph (the reference's construction search as
+        # fixed-trip tensor ops); "ivf" scores the members of the
+        # nearest upper-row cells exactly on the MXU — no serial walk.
+        self.ivf = os.environ.get("PGV_BUILD_GROUND", "beam") == "ivf"
+        self.ivf_cap = int(os.environ.get("PGV_BUILD_IVF_CAP", 64))
+        self.ivf_probes = int(os.environ.get("PGV_BUILD_IVF_PROBES", 16))
+        self._members_ready = False
 
         # Every array dimension is padded to a size bucket (1/8-octave
         # granularity, i.e. next_pow2 rounded down to 8 steps per
@@ -384,6 +397,14 @@ class DeviceBuilder:
             absorb=jnp.full((cap_pad,), -1, dtype=jnp.int32),
             entry=jnp.int32(-1),
             entry_level=jnp.int32(-1),
+            members=(
+                jnp.full((upper_pad, self.ivf_cap), -1, dtype=jnp.int32)
+                if self.ivf
+                else jnp.full((1, 1), -1, dtype=jnp.int32)
+            ),
+            member_counts=jnp.zeros(
+                (upper_pad if self.ivf else 1,), dtype=jnp.int32
+            ),
         )
         up_vecs_j = jnp.asarray(up_vecs)
         # fused square+reduce: the eager form materializes a second
@@ -407,6 +428,9 @@ class DeviceBuilder:
         self._be0_jit = jax.jit(self._backedge0_step, donate_argnums=(1, 2))
         self._beu_jit = jax.jit(self._backedge_upper_compact, donate_argnums=(1, 2))
         self._commit_jit = jax.jit(self._commit_all_step, donate_argnums=(1,))
+        self._init_members_jit = jax.jit(
+            self._init_members_step, donate_argnums=(1,)
+        )
         self._bucket_jit = jax.jit(
             self._bucket_program,
             static_argnames=("width",),
@@ -619,7 +643,9 @@ class DeviceBuilder:
         sequence is prefix-stable in lm), so upper layers just
         truncate.
 
-        Returns sel_d, sel_ids [B, LMAX+1, lm0] (layer 0 = ground).
+        Returns (sel_d, sel_ids [B, LMAX+1, lm0] (layer 0 = ground),
+        assign [B] — nearest committed upper cell for the IVF member
+        table, upper_dump outside the descent regime).
         """
         alive = arrays.alive
         B = self.batch_max
@@ -680,19 +706,33 @@ class DeviceBuilder:
                 cand_idx = ci_c.reshape(B, kk)
             else:
                 cand_d, cand_idx = score_chunk(q_rows)
+            assign = jnp.full((B,), self.upper_dump, dtype=jnp.int32)
         else:
             # descent regime (width sentinel 0 — ONE program serves all
-            # batch positions past the exact floor): beam descent over
-            # the as-built graph, seeded with the nearest committed
-            # upper rows. S + 1 (entry) must fit the efc-wide beam.
+            # batch positions past the exact floor). Seeds: the nearest
+            # committed upper rows (one exact bf16 sweep over the
+            # compact upper matrix). S + 1 (entry) must fit the
+            # efc-wide beam; the IVF generator probes `ivf_probes`
+            # cells, so take the max.
             S = min(16, width_u - 1, max(self.efc - 1, 1))
+            SP = max(S, self.ivf_probes) if self.ivf else S
+            SP = min(SP, width_u)
 
             def seed_chunk(q_chunk):
                 sc = self._score_all(
                     data, q_chunk, data.upper_vectors, data.upper_x2
                 )
                 sc = jnp.where(u_colmask[None, :], sc, jnp.inf)
-                neg, slots = jax.lax.top_k(-sc, S)
+                # exact top_k over a 64k-wide row costs several ms;
+                # seeds only need to land in the right region (the
+                # shuffled upper-slot assignment keeps approx_min_k's
+                # positional reduction statistically sound)
+                if width_u >= _APPROX_TOPK_MIN:
+                    d, slots = jax.lax.approx_min_k(
+                        sc, SP, recall_target=0.95
+                    )
+                    return d, slots
+                neg, slots = jax.lax.top_k(-sc, SP)
                 return -neg, slots
 
             CQ = 256 if (B % 256 == 0 and width_u > (1 << 17)) else B
@@ -700,25 +740,41 @@ class DeviceBuilder:
                 sd_c, sl_c = jax.lax.map(
                     seed_chunk, q_rows.reshape(-1, CQ, self.dim)
                 )
-                seed_sc = sd_c.reshape(B, S)
-                seed_slots = sl_c.reshape(B, S)
+                seed_sc = sd_c.reshape(B, SP)
+                seed_slots = sl_c.reshape(B, SP)
             else:
                 seed_sc, seed_slots = seed_chunk(q_rows)
-            seed_ids = jnp.where(
-                jnp.isfinite(seed_sc), u_ids[seed_slots], -1
-            )
-            seed_d = jnp.where(jnp.isfinite(seed_sc), seed_sc, jnp.inf)
-            # measured at 1M: 28 steps matches 40- and 64-step beam
-            # recall exactly (0.9842 at ef=40) at ~1.3x the build rate
-            # (bench 2026-08-17); scale mildly with capacity
-            steps = int(os.environ.get("PGV_BUILD_BEAM_STEPS", 0)) or max(
-                16, 8 + int(math.log2(self.cap + 1))
-            )
-            expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
-            dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
-            cand_d, cand_idx = self._beam_ground_candidates(
-                data, arrays.neighbors0, alive, arrays.entry, q_rows,
-                seed_d, seed_ids, steps, expand, dedup,
+            if self.ivf:
+                cand_d, cand_idx = self._ivf_ground_candidates(
+                    data, arrays, q_rows, seed_sc, seed_slots
+                )
+            else:
+                seed_ids = jnp.where(
+                    jnp.isfinite(seed_sc[:, :S]),
+                    u_ids[seed_slots[:, :S]],
+                    -1,
+                )
+                seed_d = jnp.where(
+                    jnp.isfinite(seed_sc[:, :S]), seed_sc[:, :S], jnp.inf
+                )
+                # measured at 1M: 28 steps matches 40- and 64-step beam
+                # recall exactly (0.9842 at ef=40) at ~1.3x the build
+                # rate (bench 2026-08-17); scale mildly with capacity
+                steps = int(
+                    os.environ.get("PGV_BUILD_BEAM_STEPS", 0)
+                ) or max(16, 8 + int(math.log2(self.cap + 1)))
+                expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
+                dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
+                cand_d, cand_idx = self._beam_ground_candidates(
+                    data, arrays.neighbors0, alive, arrays.entry, q_rows,
+                    seed_d, seed_ids, steps, expand, dedup,
+                )
+            # membership assignment for the IVF table: nearest committed
+            # upper cell (upper_dump = none/invalid)
+            assign = jnp.where(
+                jnp.isfinite(seed_sc[:, 0]),
+                seed_slots[:, 0],
+                self.upper_dump,
             )
         sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
 
@@ -804,12 +860,72 @@ class DeviceBuilder:
         keep = act & width_ok
         sel_d = jnp.where(keep, sel_d, jnp.inf)
         sel_ids = jnp.where(keep, sel_ids, -1)
-        return sel_d, sel_ids
+        return sel_d, sel_ids, assign
+
+    def _ivf_ground_candidates(self, data: BuildData, arrays: BuildArrays,
+                               q_rows, seed_sc, seed_slots):
+        """Ground candidates from the member table: gather the members
+        of the `ivf_probes` nearest committed upper cells and score
+        them exactly — all MXU/VPU work, no serial graph walk (the
+        TPU-first alternative to beam descent; a center is always a
+        member of its own cell, so probed centers self-include).
+
+        Returns (cand_d, cand_ids) [B, efc] sorted nearest first.
+        """
+        B = q_rows.shape[0]
+        P = min(self.ivf_probes, seed_slots.shape[1])
+        cap = self.cap
+        n_slots = arrays.members.shape[0]
+
+        def chunk(args):
+            q_c, sl_c, sc_c = args  # [CQ, D], [CQ, P], [CQ, P]
+            mem = arrays.members[jnp.clip(sl_c, 0, n_slots - 1)]
+            mem = jnp.where(
+                jnp.isfinite(sc_c)[:, :, None], mem, -1
+            ).reshape(q_c.shape[0], -1)  # [CQ, P*CAP]
+            safe = jnp.clip(mem, 0, cap)
+            ok = mem >= 0
+            rows = data.vectors_bf16[safe]  # [CQ, W, D]
+            if self.metric in ("l2", "ip", "cosine"):
+                dots = jnp.einsum(
+                    "bwd,bd->bw", rows, q_c.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                if self.metric == "l2":
+                    q2 = jnp.sum(q_c * q_c, axis=1, keepdims=True)
+                    d = jnp.maximum(q2 + data.x2[safe] - 2.0 * dots, 0.0)
+                elif self.metric == "ip":
+                    d = -dots
+                else:
+                    d = 1.0 - jnp.clip(dots, -1.0, 1.0)
+            else:  # l1
+                d = jnp.sum(
+                    jnp.abs(rows.astype(jnp.float32) - q_c[:, None, :]),
+                    axis=-1,
+                )
+            d = jnp.where(ok, d, jnp.inf)
+            kk = min(self.efc, d.shape[1])
+            neg, pos = jax.lax.top_k(-d, kk)
+            return -neg, jnp.take_along_axis(mem, pos, axis=1)
+
+        CQ = 256 if B % 256 == 0 and B > 256 else B
+        if CQ < B:
+            cd, ci = jax.lax.map(
+                chunk,
+                (
+                    q_rows.reshape(-1, CQ, self.dim),
+                    seed_slots[:, :P].reshape(-1, CQ, P),
+                    seed_sc[:, :P].reshape(-1, CQ, P),
+                ),
+            )
+            kk = cd.shape[-1]
+            return cd.reshape(B, kk), ci.reshape(B, kk)
+        return chunk((q_rows, seed_slots[:, :P], seed_sc[:, :P]))
 
     # -- step 2: commit (three small programs) -------------------------------
 
     def _fwd_commit_step(self, data: BuildData, arrays: BuildArrays, start, size,
-                         sel_d, sel_ids):
+                         sel_d, sel_ids, assign=None):
         """On-device duplicate folding + forward edges + entry promotion.
 
         Duplicate folding (build.rs:474-510 semantics) runs entirely on
@@ -901,6 +1017,43 @@ class DeviceBuilder:
                 )
             ),
         )
+        # IVF member table: append each kept row to its nearest cell
+        # (same-cell rows within the batch serialize by rank-in-group;
+        # rows past the cell cap drop membership — they keep their
+        # graph edges, they just stop being candidates for later
+        # batches, a bounded quality effect)
+        if self.ivf and assign is not None:
+            CAP_M = self.ivf_cap
+            n_slots = arrays.members.shape[0]
+            a = jnp.where(alive, assign, self.upper_dump)
+            s_a, s_id = jax.lax.sort([a, new_ids], num_keys=1)
+            head_m = jnp.concatenate(
+                [jnp.array([True]), s_a[1:] != s_a[:-1]]
+            )
+            pos_m = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+            base_m = jax.lax.cummax(jnp.where(head_m, pos_m, 0))
+            rank_m = pos_m - base_m
+            cnt = arrays.member_counts[jnp.clip(s_a, 0, n_slots - 1)]
+            slot_pos = cnt + rank_m
+            keep_m = (s_a < self.upper_dump) & (slot_pos < CAP_M)
+            flat = jnp.where(
+                keep_m,
+                jnp.clip(s_a, 0, n_slots - 1) * CAP_M
+                + jnp.clip(slot_pos, 0, CAP_M - 1),
+                n_slots * CAP_M - 1,  # dump: last pad cell slot
+            )
+            members_flat = arrays.members.reshape(-1)
+            members_flat = members_flat.at[flat].set(
+                jnp.where(keep_m, s_id, -1)
+            )
+            counts = arrays.member_counts.at[
+                jnp.where(keep_m, s_a, n_slots - 1)
+            ].add(jnp.where(keep_m, 1, 0))
+            arrays = arrays._replace(
+                members=members_flat.reshape(n_slots, CAP_M),
+                member_counts=counts,
+            )
+
         # entry promotion: first alive element reaching the batch max
         lv = jnp.where(alive, data.levels[jnp.clip(new_ids, 0, self.cap)], -1)
         batch_max = jnp.max(lv)
@@ -1102,12 +1255,14 @@ class DeviceBuilder:
         )
 
     def _commit_all_step(self, data: BuildData, arrays: BuildArrays, start,
-                         size, sel_d, sel_ids):
+                         size, sel_d, sel_ids, assign=None):
         """Fused commit: duplicate folding + forward edges + both
         back-edge passes in ONE program (the tunnel charges per
         dispatch, so fewer, larger programs win; this one is
         width-independent and compiles once per build shape)."""
-        a = self._fwd_commit_step(data, arrays, start, size, sel_d, sel_ids)
+        a = self._fwd_commit_step(
+            data, arrays, start, size, sel_d, sel_ids, assign
+        )
         nb0, nb0d = self._backedge0_step(
             data, a.neighbors0, a.nbr0_dist, a.alive, start, size, sel_d,
             sel_ids,
@@ -1137,10 +1292,81 @@ class DeviceBuilder:
         def body(i, arr):
             s = starts[i]
             z = sizes[i]
-            sel_d, sel_ids = self._score_select_step(data, arr, s, z, width)
-            return self._commit_all_step(data, arr, s, z, sel_d, sel_ids)
+            sel_d, sel_ids, assign = self._score_select_step(
+                data, arr, s, z, width
+            )
+            return self._commit_all_step(
+                data, arr, s, z, sel_d, sel_ids, assign
+            )
 
         return jax.lax.fori_loop(0, nb, body, arrays)
+
+    def _init_members_step(self, data: BuildData, arrays: BuildArrays, count):
+        """One-time IVF member-table build at the descent transition:
+        assign every committed row to its nearest committed upper cell
+        (exact chunked MXU sweep), then group by cell with a sort +
+        rank-in-group and scatter into the flat member table."""
+        cap1 = self.cap + 1
+        CAP_M = self.ivf_cap
+        n_slots = arrays.members.shape[0]
+        width_u = data.upper_vectors.shape[0]
+        u_ids = data.upper_ids
+        u_colmask = (u_ids < count) & arrays.alive[jnp.clip(u_ids, 0, self.cap)]
+
+        CH = 1024
+        pad = (-cap1) % CH
+        ids_all = jnp.arange(cap1 + pad, dtype=jnp.int32)
+
+        def chunk(ids_c):
+            safe = jnp.clip(ids_c, 0, self.cap)
+            q_c = data.vectors[safe]
+            sc = self._score_all(data, q_c, data.upper_vectors, data.upper_x2)
+            sc = jnp.where(u_colmask[None, :], sc, jnp.inf)
+            slot = jnp.argmin(sc, axis=1).astype(jnp.int32)
+            row_ok = (
+                (ids_c < count)
+                & arrays.alive[safe]
+                & jnp.isfinite(jnp.min(sc, axis=1))
+            )
+            return jnp.where(row_ok, slot, self.upper_dump)
+
+        assign = jax.lax.map(chunk, ids_all.reshape(-1, CH)).reshape(-1)[
+            :cap1
+        ]
+        s_a, s_id = jax.lax.sort(
+            [assign, jnp.arange(cap1, dtype=jnp.int32)], num_keys=1
+        )
+        head = jnp.concatenate([jnp.array([True]), s_a[1:] != s_a[:-1]])
+        pos = jax.lax.broadcasted_iota(jnp.int32, (cap1, 1), 0)[:, 0]
+        base = jax.lax.cummax(jnp.where(head, pos, 0))
+        rank = pos - base
+        keep = (s_a < self.upper_dump) & (rank < CAP_M)
+        flat = jnp.where(
+            keep,
+            jnp.clip(s_a, 0, n_slots - 1) * CAP_M
+            + jnp.clip(rank, 0, CAP_M - 1),
+            n_slots * CAP_M - 1,
+        )
+        members = (
+            jnp.full((n_slots * CAP_M,), -1, dtype=jnp.int32)
+            .at[flat]
+            .set(jnp.where(keep, s_id, -1))
+            .reshape(n_slots, CAP_M)
+        )
+        counts = (
+            jnp.zeros((n_slots,), dtype=jnp.int32)
+            .at[jnp.where(keep, s_a, n_slots - 1)]
+            .add(jnp.where(keep, 1, 0))
+        )
+        return arrays._replace(members=members, member_counts=counts)
+
+    def _ensure_members(self, start: int) -> None:
+        if not self.ivf or self._members_ready:
+            return
+        self._members_ready = True
+        self.arrays = self._init_members_jit(
+            self.data, self.arrays, jnp.int32(start)
+        )
 
     # -- public driver -------------------------------------------------------
 
@@ -1189,6 +1415,8 @@ class DeviceBuilder:
         timing = os.environ.get("PGV_BUILD_TIMING")
         for w, batches in groups:
             t0 = time.time()
+            if w == 0:
+                self._ensure_members(batches[0][0])
             starts = np.zeros(NB, np.int32)
             sizes = np.zeros(NB, np.int32)
             for i, (s, z) in enumerate(batches):
@@ -1221,11 +1449,13 @@ class DeviceBuilder:
         (the instrumented/debug path; run_all is the fast path)."""
         debug = os.environ.get("PGV_BUILD_DEBUG")
         width = self._width_for(start)
+        if width == 0:
+            self._ensure_members(start)
 
         t0 = time.time()
         jstart = jnp.int32(start)
         jsize = jnp.int32(size)
-        sel_d, sel_ids = self._search_jit(
+        sel_d, sel_ids, assign = self._search_jit(
             self.data, self.arrays, jstart, jsize, width=width
         )
         if debug:
@@ -1241,7 +1471,7 @@ class DeviceBuilder:
         t0 = time.time()
         if debug:
             a = self._fwd_jit(
-                self.data, self.arrays, jstart, jsize, sel_d, sel_ids
+                self.data, self.arrays, jstart, jsize, sel_d, sel_ids, assign
             )
             int(np.asarray(a.entry))
             t1 = time.time()
@@ -1268,7 +1498,7 @@ class DeviceBuilder:
             )
         else:
             self.arrays = self._commit_jit(
-                self.data, self.arrays, jstart, jsize, sel_d, sel_ids
+                self.data, self.arrays, jstart, jsize, sel_d, sel_ids, assign
             )
 
 
@@ -1506,7 +1736,7 @@ def _seed_builder_from_graph(builder: DeviceBuilder, g, n0: int) -> None:
     tid_counts = np.zeros(builder.cap + 1, dtype=np.int32)
     tid_counts[:n0] = np.asarray(g.tid_count)[:n0]
 
-    builder.arrays = BuildArrays(
+    builder.arrays = builder.arrays._replace(
         neighbors0=nb0_j,
         nbr0_dist=nbr0_dist.astype(builder.arrays.nbr0_dist.dtype),
         upper_nbrs=up_j,

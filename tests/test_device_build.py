@@ -208,6 +208,28 @@ class TestBulkInsert:
         assert recall_at_k(ids, gt, 5) >= 0.95
 
 
+def test_ivf_ground_candidates_build(monkeypatch):
+    """PGV_BUILD_GROUND=ivf: descent-regime candidates from the member
+    table (all-MXU) instead of beam descent; recall must hold."""
+    from pgvector_rx_tpu.graph import device_build
+
+    monkeypatch.setattr(device_build, "_DESCENT_MIN_WIDTH", 2048)
+    monkeypatch.setenv("PGV_BUILD_GROUND", "ivf")
+    rng = np.random.default_rng(13)
+    data = rng.standard_normal((6000, 10)).astype(np.float32)
+    idx = HnswIndex.build(data, metric="l2", method="device", seed=3)
+    assert idx.num_tuples == 6000
+    q = rng.standard_normal((30, 10)).astype(np.float32)
+    gt = brute_force(data, q, "l2", 10)
+    _, ids = idx.search(q, 10, SearchParams(ef_search=40), method="host")
+    assert recall_at_k(ids, gt, 10) >= 0.95
+    # late rows (inserted through the ivf path) reachable via the graph
+    _, sids = idx.search(data[5800:5820], 1, SearchParams(ef_search=40),
+                         method="host")
+    got = np.asarray(sids).ravel()
+    assert (got == np.arange(5800, 5820)).mean() >= 0.9
+
+
 def test_descent_build_small_efc(monkeypatch):
     """Regression: efc<=16 made the descent beam's seed count equal its
     width and overflow the init scatter (S+1 > W trace crash)."""
