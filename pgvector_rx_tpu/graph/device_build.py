@@ -757,12 +757,13 @@ class DeviceBuilder:
                 seed_d = jnp.where(
                     jnp.isfinite(seed_sc[:, :S]), seed_sc[:, :S], jnp.inf
                 )
-                # measured at 1M: 28 steps matches 40- and 64-step beam
-                # recall exactly (0.9842 at ef=40) at ~1.3x the build
-                # rate (bench 2026-08-17); scale mildly with capacity
+                # measured at 1M: 20 steps matches the 28-, 40- and
+                # 64-step beam recall exactly (0.9842 at ef=40) at
+                # 8.6k vec/s steady vs 6.9k at 28 steps (bench
+                # 2026-08-17); scale mildly with capacity
                 steps = int(
                     os.environ.get("PGV_BUILD_BEAM_STEPS", 0)
-                ) or max(16, 8 + int(math.log2(self.cap + 1)))
+                ) or max(16, int(math.log2(self.cap + 1)))
                 expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
                 dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
                 cand_d, cand_idx = self._beam_ground_candidates(

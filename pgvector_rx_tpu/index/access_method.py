@@ -86,7 +86,12 @@ def validate_opclass(name: str) -> bool:
 
 
 def create_index_for_opclass(name: str, dim: int, **kwargs):
-    """CREATE INDEX ... USING hnsw (col <opclass>) analog."""
+    """CREATE INDEX ... USING hnsw (col <opclass>) analog.
+
+    The returned index is empty — this doubles as the ``ambuildempty``
+    analog (build.rs:919-944: an UNLOGGED index's init fork is just a
+    valid empty meta page; here an empty HnswIndex saves/loads as a
+    valid empty checkpoint)."""
     from .hnsw import HnswIndex
 
     if name not in OPERATOR_CLASSES:

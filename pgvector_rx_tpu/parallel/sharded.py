@@ -111,6 +111,51 @@ class ShardedHnswIndex:
         self._stacked = None
         return self.shards[target].insert(value, tid)
 
+    def insert_bulk(self, values, tids=None) -> int:
+        """Batched insert across shards: water-fill the batch so shard
+        tuple counts equalize, then run each shard's batched device
+        insert (HnswIndex.insert_bulk). Dense only. Returns elements
+        added across shards (folded duplicate TIDs excluded)."""
+        arr = np.asarray(values, dtype=np.float32)
+        n = len(arr)
+        if n == 0:
+            return 0
+        if tids is None:
+            base = self.num_tuples
+            tids = range(base, base + n)
+        tids = np.fromiter((int(t) for t in tids), dtype=np.int64, count=n)
+        sizes = np.array([s.num_tuples for s in self.shards], dtype=np.int64)
+        S = len(sizes)
+        # water level T with sum(max(0, T - size)) = n, then round-robin
+        # the remainder of the flooring
+        lo, hi = int(sizes.min()), int(sizes.max() + n)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if np.maximum(0, mid - sizes).sum() < n:
+                lo = mid + 1
+            else:
+                hi = mid
+        alloc = np.minimum(np.maximum(0, lo - sizes), n)
+        extra = int(alloc.sum() - n)
+        for s in np.argsort(-sizes):
+            if extra <= 0:
+                break
+            take = min(extra, int(alloc[s]))
+            alloc[s] -= take
+            extra -= take
+        self._stacked = None
+        added = 0
+        pos = 0
+        for s, k in enumerate(alloc):
+            k = int(k)
+            if k == 0:
+                continue
+            added += self.shards[s].insert_bulk(
+                arr[pos : pos + k], tids=tids[pos : pos + k].tolist()
+            )
+            pos += k
+        return added
+
     def delete(self, tids) -> int:
         self._stacked = None
         return sum(s.delete(tids) for s in self.shards)

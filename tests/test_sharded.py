@@ -60,6 +60,45 @@ class TestSharded:
         d, tids = idx.search(new, 1)
         assert tids[0] != 5000
 
+    def test_insert_bulk_balances_and_recalls(self):
+        rng = np.random.default_rng(77)
+        data = rng.standard_normal((800, 10)).astype(np.float32)
+        idx = ShardedHnswIndex.build(
+            data, n_shards=4, metric="l2", method="host", seed=78
+        )
+        # skew shard 0 so water-filling has something to level
+        skew = rng.standard_normal((60, 10)).astype(np.float32)
+        idx.shards[0].insert_bulk(skew, tids=range(10_000, 10_060))
+        extra = rng.standard_normal((300, 10)).astype(np.float32)
+        added = idx.insert_bulk(extra, tids=range(800, 1100))
+        assert added == 300
+        assert idx.num_tuples == 1160
+        sizes = [s.num_tuples for s in idx.shards]
+        assert max(sizes) - min(sizes) <= 1  # water-filled level
+        # inserted rows reachable through the sharded search
+        all_data = np.concatenate([data, skew, extra])
+        all_tids = np.concatenate(
+            [np.arange(800), np.arange(10_000, 10_060), np.arange(800, 1100)]
+        )
+        q = extra[:16]
+        gt = all_tids[
+            np.argsort(((all_data[None] - q[:, None]) ** 2).sum(-1), axis=1)[:, :5]
+        ]
+        _, tids = idx.search(q, 5, SearchParams(ef_search=40))
+        assert recall_at_k(tids, gt, 5) >= 0.9
+
+    def test_insert_bulk_default_tids(self):
+        rng = np.random.default_rng(79)
+        data = rng.standard_normal((200, 6)).astype(np.float32)
+        idx = ShardedHnswIndex.build(
+            data, n_shards=2, metric="l2", method="host", seed=80
+        )
+        extra = rng.standard_normal((40, 6)).astype(np.float32)
+        idx.insert_bulk(extra)  # tids default to num_tuples..num_tuples+n
+        d, tids = idx.search(extra[:8], 1, SearchParams(ef_search=40))
+        got = np.asarray(tids).ravel()
+        assert (got == np.arange(200, 208)).mean() >= 0.9
+
     def test_cosine_sharded(self):
         rng = np.random.default_rng(75)
         data = rng.standard_normal((400, 8)).astype(np.float32)
