@@ -247,6 +247,48 @@ class TestVacuum:
         assert idx.elements[dead].version == 1  # 15 -> 1 wrap
 
 
+class TestMixedWorkload:
+    """016_hnsw_inserts analog: the reference stresses 10-20 concurrent
+    backends inserting 1000 rows and tolerates >= 997/1000 reachable
+    (elements may lose all in-edges under concurrent pruning,
+    016:63-70). Here the concurrency story is batched device inserts
+    with deterministic conflict resolution, so the analog interleaves
+    insert_bulk / delete / vacuum / scans and holds the same bar."""
+
+    def test_interleaved_bulk_insert_reachability(self):
+        rng = np.random.default_rng(160)
+        data0 = rng.standard_normal((200, 8)).astype(np.float32)
+        idx = HnswIndex.build(data0, metric="l2", method="host", seed=161)
+        all_rows = {i: data0[i] for i in range(200)}
+        next_tid = 200
+        for round_ in range(5):
+            batch = rng.standard_normal((200, 8)).astype(np.float32)
+            tids = list(range(next_tid, next_tid + 200))
+            idx.insert_bulk(batch, tids=tids)
+            for t, row in zip(tids, batch):
+                all_rows[t] = row
+            next_tid += 200
+            # interleave deletes + vacuum repair every other round
+            if round_ % 2 == 1:
+                dead = rng.choice(sorted(all_rows), size=40, replace=False)
+                idx.delete(dead)
+                for t in dead:
+                    all_rows.pop(int(t))
+                idx.vacuum()
+            # interleaved search must keep working mid-stream
+            _, ids = idx.search(batch[0], 1, SearchParams(ef_search=40),
+                                method="host")
+            assert ids[0] >= 0
+        live = [(t, r) for t, r in sorted(all_rows.items()) if r is not None]
+        probe = live[:: max(1, len(live) // 400)][:400]
+        hits = 0
+        for t, row in probe:
+            _, ids = idx.search(row, 1, SearchParams(ef_search=60),
+                                method="host")
+            hits += int(ids[0] == t)
+        assert hits / len(probe) >= 0.997, f"{hits}/{len(probe)} reachable"
+
+
 class TestIterativeScan:
     """043/044 analogs: filtered search via resumable scans."""
 
