@@ -63,6 +63,16 @@ _APPROX_TOPK_MIN = 16384
 # which the select heuristic needs for long-range navigability.
 _DESCENT_MIN_WIDTH = int(os.environ.get("PGV_BUILD_DESCENT_MIN", 131072))
 
+# Stream the corpus upload in chunks behind the early build groups when
+# the upload is at least this large. Measured through the tunneled
+# backend at 1M x 128-d: the single 512MB f32 upload costs 31s of the
+# 127s build and transfers DO overlap compute (probe 2026-08-17), so
+# chunked uploads interleaved with the group dispatches hide most of
+# it. PGV_BUILD_STREAM=0 disables.
+_STREAM_MIN_BYTES = int(os.environ.get("PGV_BUILD_STREAM_MIN", 64 << 20))
+_STREAM_CHUNK_BYTES = int(os.environ.get("PGV_BUILD_STREAM_CHUNK", 64 << 20))
+
+
 # batches folded into one device program dispatch (see _bucket_program).
 # The dev harness's tunnel charges ~0.5s per program dispatch no matter
 # how small, so the build runs up to this many (search+commit) batches
@@ -74,6 +84,32 @@ _BATCHES_PER_DISPATCH = 128
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "dim"))
+def _stream_init(rows: int, dim: int):
+    """All three streaming buffers in ONE program (each fresh program
+    costs ~45-90s of XLA compile through the tunneled backend)."""
+    return (
+        jnp.zeros((rows, dim), dtype=jnp.float32),
+        jnp.zeros((rows, dim), dtype=jnp.bfloat16),
+        jnp.zeros((rows,), dtype=jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _stream_apply(vec, bf, x2, chunk, start):
+    """Write one corpus chunk into the (donated) streaming buffers and
+    derive its bf16/x2 views on device — the per-chunk form of the
+    init-time cast/reduce."""
+    vec = jax.lax.dynamic_update_slice(vec, chunk, (start, 0))
+    bf = jax.lax.dynamic_update_slice(
+        bf, chunk.astype(jnp.bfloat16), (start, 0)
+    )
+    x2 = jax.lax.dynamic_update_slice(
+        x2, jnp.sum(chunk * chunk, axis=1), (start,)
+    )
+    return vec, bf, x2
 
 
 class BuildArrays(NamedTuple):
@@ -346,10 +382,38 @@ class DeviceBuilder:
         )
         levels = np.minimum(levels.astype(np.int32), self.lmax)
 
-        pad_rows = np.zeros((cap_pad - n, self.dim), dtype=np.float32)
-        self.vectors = jnp.asarray(
-            np.concatenate([vectors.astype(np.float32), pad_rows])
+        # Streaming upload (see _STREAM_MIN_BYTES): hold the corpus on
+        # the host and write it into zero-initialized device buffers in
+        # chunks, each dispatched just ahead of the build groups that
+        # consume its rows, so the transfer rides behind compute. Group
+        # programs only gather rows < start+size, and every masked read
+        # of a not-yet-streamed row sees the same zeros the pad rows do.
+        self._chunk_rows = 0
+        self._uploaded_rows = cap_pad
+        self._host_rows = None
+        self._inflight: list = []
+        stream = (
+            os.environ.get("PGV_BUILD_STREAM", "1") != "0"
+            and n * self.dim * 4 >= _STREAM_MIN_BYTES
         )
+        if stream:
+            # chunk ~ corpus/16 (floor 64MB): keeps the drain count — each
+            # in-flight throttle drain costs a ~0.5s tunnel download — at
+            # a handful regardless of corpus size
+            tgt = max(_STREAM_CHUNK_BYTES, n * self.dim * 4 // 16)
+            chunk = min(4096, cap_pad)
+            while chunk * self.dim * 4 < tgt and chunk < cap_pad:
+                chunk *= 2
+            self._chunk_rows = min(chunk, cap_pad)
+            self._uploaded_rows = 0
+            self._host_rows = np.ascontiguousarray(vectors, dtype=np.float32)
+            self._stream_bufs = _stream_init(cap_pad, self.dim)
+            self.vectors = self._stream_bufs[0]
+        else:
+            pad_rows = np.zeros((cap_pad - n, self.dim), dtype=np.float32)
+            self.vectors = jnp.asarray(
+                np.concatenate([vectors.astype(np.float32), pad_rows])
+            )
         self.levels = jnp.asarray(
             np.concatenate([levels, np.full(cap_pad - n, -1, np.int32)])
         )
@@ -410,10 +474,17 @@ class DeviceBuilder:
         # fused square+reduce: the eager form materializes a second
         # full-corpus f32 temp (5.4GB at 10M rows)
         _x2 = jax.jit(lambda v: jnp.sum(v * v, axis=1))
+        if stream:
+            vec_buf, bf_buf, x2_buf = self._stream_bufs
+            del self._stream_bufs
+        else:
+            vec_buf = self.vectors
+            bf_buf = self.vectors.astype(jnp.bfloat16)
+            x2_buf = _x2(self.vectors)
         self.data = BuildData(
-            vectors=self.vectors,
-            vectors_bf16=self.vectors.astype(jnp.bfloat16),
-            x2=_x2(self.vectors),
+            vectors=vec_buf,
+            vectors_bf16=bf_buf,
+            x2=x2_buf,
             levels=self.levels,
             upper_slot=self.upper_slot,
             upper_vectors=up_vecs_j,
@@ -757,13 +828,13 @@ class DeviceBuilder:
                 seed_d = jnp.where(
                     jnp.isfinite(seed_sc[:, :S]), seed_sc[:, :S], jnp.inf
                 )
-                # measured at 1M: 20 steps matches the 28-, 40- and
-                # 64-step beam recall exactly (0.9842 at ef=40) at
-                # 8.6k vec/s steady vs 6.9k at 28 steps (bench
-                # 2026-08-17); scale mildly with capacity
+                # measured at 1M (bench 2026-08-17): 16 steps holds the
+                # 20/28/40/64-step beam recall (0.9841 vs 0.9842 at
+                # ef=40) at 10.7k vec/s steady; 14 steps drops recall
+                # to 0.9830. Scale mildly with capacity above 16M.
                 steps = int(
                     os.environ.get("PGV_BUILD_BEAM_STEPS", 0)
-                ) or max(16, int(math.log2(self.cap + 1)))
+                ) or max(16, int(math.log2(self.cap + 1)) - 4)
                 expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
                 dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
                 cand_d, cand_idx = self._beam_ground_candidates(
@@ -1379,6 +1450,47 @@ class DeviceBuilder:
             entry_level=self.levels[first_id],
         )
 
+    def _ensure_rows(self, needed: int) -> None:
+        """Streaming upload: dispatch corpus chunks covering rows
+        [0, needed). Each chunk's device_put is issued ahead of the
+        group dispatches that consume it, so its transfer overlaps the
+        previous groups' device time. In-flight chunk buffers are
+        throttled (~256MB) by draining a scalar from an older apply —
+        bounding the HBM transient at 10M-row scale."""
+        if self._chunk_rows == 0:
+            return
+        cap1 = self.cap + 1
+        target = min(max(needed, 0), self.n)
+        if self._uploaded_rows >= target:
+            return
+        CR = self._chunk_rows
+        n = self.n
+        throttle = max(2, (512 << 20) // (CR * self.dim * 4))
+        while self._uploaded_rows < target:
+            start = self._uploaded_rows
+            rows = min(CR, cap1 - start)
+            end = min(start + rows, n)
+            if end - start == rows:
+                host = self._host_rows[start:end]
+            else:  # tail chunk: zero-pad (identical to the pad rows)
+                host = np.zeros((rows, self.dim), dtype=np.float32)
+                host[: end - start] = self._host_rows[start:end]
+            if len(self._inflight) >= throttle:
+                float(np.asarray(self._inflight.pop(0)))
+            dev = jax.device_put(np.ascontiguousarray(host))
+            d = self.data
+            vec, bf, x2 = _stream_apply(
+                d.vectors, d.vectors_bf16, d.x2, dev, jnp.int32(start)
+            )
+            self._inflight.append(x2[0])  # apply-done marker (eager slice)
+            self.data = d._replace(vectors=vec, vectors_bf16=bf, x2=x2)
+            self.vectors = vec
+            self._uploaded_rows = start + rows
+        if self._uploaded_rows >= n:  # rest of cap_pad is zero pads
+            self._uploaded_rows = cap1
+            self._host_rows = None
+            self._inflight.clear()
+
     def _width_for(self, start: int) -> int:
         """Static scored-prefix bucket for a batch starting at `start`.
 
@@ -1416,6 +1528,7 @@ class DeviceBuilder:
         timing = os.environ.get("PGV_BUILD_TIMING")
         for w, batches in groups:
             t0 = time.time()
+            self._ensure_rows(batches[-1][0] + batches[-1][1])
             if w == 0:
                 self._ensure_members(batches[0][0])
             starts = np.zeros(NB, np.int32)
@@ -1450,6 +1563,7 @@ class DeviceBuilder:
         (the instrumented/debug path; run_all is the fast path)."""
         debug = os.environ.get("PGV_BUILD_DEBUG")
         width = self._width_for(start)
+        self._ensure_rows(start + size)
         if width == 0:
             self._ensure_members(start)
 
@@ -1799,6 +1913,9 @@ def bulk_insert(index, data, ids) -> int:
         index.params.ef_construction,
         batch_max=int(os.environ.get("PGV_BUILD_BATCH", 0)) or 1024,
     )
+    # the transplant recomputes edge distances of the EXISTING rows on
+    # device, so those must be resident before the streaming schedule
+    builder._ensure_rows(n0)
     _seed_builder_from_graph(builder, g, n0)
     levels_cl = np.asarray(builder.levels)[: n0 + n_new]  # lmax-clamped
 

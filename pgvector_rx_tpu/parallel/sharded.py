@@ -160,6 +160,46 @@ class ShardedHnswIndex:
         self._stacked = None
         return sum(s.delete(tids) for s in self.shards)
 
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path) -> None:
+        """Checkpoint: one sub-checkpoint per shard + a mesh-shape meta
+        file (durability analog of the per-shard WAL story — each shard
+        reuses the single-index checkpoint format, storage.py)."""
+        import json
+        from pathlib import Path
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        for i, s in enumerate(self.shards):
+            s.save(path / f"shard_{i:05d}")
+        meta = {"sharded": True, "n_shards": len(self.shards)}
+        tmp = path / "sharded.json.tmp"
+        tmp.write_text(json.dumps(meta))
+        import os as _os
+
+        _os.replace(tmp, path / "sharded.json")
+
+    @classmethod
+    def load(cls, path, mesh: Optional[Mesh] = None) -> "ShardedHnswIndex":
+        """Reload a sharded checkpoint, placing each shard's device
+        arrays on its mesh device (reload-equivalence: searches on the
+        loaded index match the saved one, the 010_hnsw_wal model)."""
+        import json
+        from pathlib import Path
+
+        path = Path(path)
+        meta = json.loads((path / "sharded.json").read_text())
+        n_shards = int(meta["n_shards"])
+        devices = (
+            list(mesh.devices.flat) if mesh is not None else jax.devices()
+        )
+        shards = []
+        for i in range(n_shards):
+            with jax.default_device(devices[i % len(devices)]):
+                shards.append(HnswIndex.load(path / f"shard_{i:05d}"))
+        return cls(shards, mesh=mesh)
+
     @property
     def num_tuples(self) -> int:
         return sum(s.num_tuples for s in self.shards)

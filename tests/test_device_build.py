@@ -208,6 +208,48 @@ class TestBulkInsert:
         assert recall_at_k(ids, gt, 5) >= 0.95
 
 
+def test_stream_upload_build_identical(monkeypatch):
+    """Chunk-streamed corpus upload must produce a graph identical to
+    the single-upload build (same programs, same data — only the
+    transfer mechanics differ)."""
+    from pgvector_rx_tpu.graph import device_build
+
+    rng = np.random.default_rng(71)
+    # > 2 chunks: the chunk floor is 4096 rows, so 12k rows -> 3 chunks
+    data = rng.standard_normal((12000, 16)).astype(np.float32)
+
+    monkeypatch.setattr(device_build, "_STREAM_MIN_BYTES", 1 << 40)  # off
+    ref = HnswIndex.build(data, metric="l2", method="device", seed=72)
+
+    monkeypatch.setattr(device_build, "_STREAM_MIN_BYTES", 0)  # on
+    monkeypatch.setattr(device_build, "_STREAM_CHUNK_BYTES", 1)
+    got = HnswIndex.build(data, metric="l2", method="device", seed=72)
+
+    assert got.entry == ref.entry
+    for a, b in zip(got.elements, ref.elements):
+        assert a.level == b.level
+        assert [n for _, n in a.neighbors[0]] == [n for _, n in b.neighbors[0]]
+
+
+def test_stream_upload_bulk_insert(monkeypatch):
+    """Streaming stays correct through the transplant path (existing
+    rows must be resident before edge-distance recompute)."""
+    from pgvector_rx_tpu.graph import device_build
+
+    monkeypatch.setattr(device_build, "_STREAM_MIN_BYTES", 0)
+    monkeypatch.setattr(device_build, "_STREAM_CHUNK_BYTES", 1)
+    rng = np.random.default_rng(73)
+    base = rng.standard_normal((6000, 16)).astype(np.float32)
+    extra = rng.standard_normal((3000, 16)).astype(np.float32)
+    idx = HnswIndex.build(base, metric="l2", method="device", seed=74)
+    idx.insert_bulk(extra)
+    data = np.concatenate([base, extra])
+    q = rng.standard_normal((20, 16)).astype(np.float32)
+    gt = brute_force(data, q, "l2", 10)
+    _, ids = idx.search(q, 10, SearchParams(ef_search=40), method="host")
+    assert recall_at_k(ids, gt, 10) >= 0.95
+
+
 def test_ivf_ground_candidates_build(monkeypatch):
     """PGV_BUILD_GROUND=ivf: descent-regime candidates from the member
     table (all-MXU) instead of beam descent; recall must hold."""

@@ -126,6 +126,33 @@ def test_sharded_exact_engine():
     np.testing.assert_allclose(d[:, 0], 0.0, atol=5e-3)
 
 
+class TestShardedPersistence:
+    def test_save_load_equivalence(self, sharded_setup, tmp_path):
+        idx, data = sharded_setup
+        q = data[7] + 0.02
+        d0, t0 = idx.search(q, 10, SearchParams(ef_search=40))
+        idx.save(tmp_path / "ck")
+        idx2 = ShardedHnswIndex.load(tmp_path / "ck", mesh=idx.mesh)
+        assert idx2.num_tuples == idx.num_tuples
+        d1, t1 = idx2.search(q, 10, SearchParams(ef_search=40))
+        assert list(t1) == list(t0)
+        np.testing.assert_allclose(d1, d0, rtol=1e-5)
+
+    def test_save_load_serving_only(self, tmp_path):
+        rng = np.random.default_rng(95)
+        data = rng.standard_normal((1000, 8)).astype(np.float32)
+        idx = ShardedHnswIndex.build(
+            data, n_shards=2, metric="l2", method="device",
+            host_graph=False, seed=96,
+        )
+        q = data[:6]
+        d0, t0 = idx.search(q, 5, SearchParams(ef_search=40))
+        idx.save(tmp_path / "ck2")
+        idx2 = ShardedHnswIndex.load(tmp_path / "ck2")
+        d1, t1 = idx2.search(q, 5, SearchParams(ef_search=40))
+        assert t1.tolist() == t0.tolist()
+
+
 class TestShardedScan:
     """Iterative-scan analog for the sharded index (BASELINE's 100M
     relaxed_order config, exercised at test scale on the CPU mesh)."""
