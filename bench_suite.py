@@ -188,14 +188,19 @@ def run_bit_256():
     from pgvector_rx_tpu.ops.bits import pack_bits
 
     qwords = jnp.asarray(pack_bits(qbits))
-    # exact popcount sweep (the serving engine for bit)
+    # exact MXU bit sweep (unpack + matmul; the serving engine for bit)
     d, gt_ids = device_mod._exact_search_bits(g, qwords, K)
     gt = np.asarray(gt_ids)
-    t0 = time.time()
-    d, ids = device_mod._exact_search_bits(g, qwords, K)
-    ids = np.asarray(ids)
-    dt = time.time() - t0
-    rows = [("exact popcount sweep", recall_of(ids, gt), n_q / dt)]
+    rows = []
+    for engine, approx in (("exact MXU sweep", False),
+                           ("approx (approx_min_k select)", True)):
+        d, ids = device_mod._exact_search_bits(g, qwords, K, approx=approx)
+        np.asarray(ids)  # warm compile
+        t0 = time.time()
+        d, ids = device_mod._exact_search_bits(g, qwords, K, approx=approx)
+        ids = np.asarray(ids)
+        dt = time.time() - t0
+        rows.append((engine, recall_of(ids, gt), n_q / dt))
     emit("bit(256) hamming, 1M (BASELINE config 4a)", rows, build_s, n)
 
 

@@ -743,18 +743,46 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
     return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _exact_search_bits(g: DeviceGraph, queries, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False):
     """Exact top-k over packed-bit rows (hamming / jaccard).
 
-    Chunked VPU popcount sweep — XOR/AND + population_count over
-    [B, CH, W] word tiles, masked by live slots, with per-chunk top-k
-    merged by one final sort (the full [B, N] score matrix would be
-    16GB at 1M rows x 4k queries).
+    Two formulations, chosen statically by query-batch size, both
+    masked by live slots with per-chunk top-k merged by one final sort
+    (the full [B, N] score matrix would be 16GB at 1M rows x 4k
+    queries):
+
+    - **MXU sweep** (B >= 32, the serving path): unpack each chunk's
+      packed words to bf16 {0,1} on device and take one f32-accumulated
+      matmul against the unpacked queries — exactly popcount(AND),
+      from which hamming = |q|+|row|-2·ab and jaccard = 1-ab/union
+      derive. Distances are exact (0/1 products, sums < 2^24). The
+      popcount formulation streams [B, CH, W] word tiles through the
+      VPU — ~B·W·4 bytes of transient traffic per corpus row — while
+      the matmul's traffic is the ~nbits·2-byte unpack per row,
+      independent of B: the MXU path wins whenever many queries
+      amortize the unpack.
+    - **VPU popcount sweep** (small B): XOR/AND + population_count on
+      the packed words directly, the reference's formulation
+      (bitvec.rs:97-132) batched.
+
+    ``approx=True`` keeps the exact distances but selects per chunk
+    with ``lax.approx_min_k`` instead of top_k (the turbo-engine
+    recipe; selection, not scoring, dominates the sweep).
     """
     B = queries.shape[0]
     cap1 = g.words.shape[0]
-    CH = 8192
+    nbits = g.words.shape[1] * 32
+    mxu = B >= 32
+    if mxu:
+        # dense-sweep-sized chunks: few per-chunk top_k passes (those,
+        # not the matmul, dominate at small chunks); bound the
+        # [CH, nbits] bf16 unpack transient to ~128MB
+        CH = _EXACT_SWEEP_CHUNK
+        while CH * nbits * 2 > (128 << 20) and CH > 4096:
+            CH //= 2
+    else:  # bounds the [B, CH, W] popcount word tile
+        CH = 8192
     pad = (-cap1) % CH
     words = jnp.pad(g.words, ((0, pad), (0, 0)))
     live = jnp.pad(g.traversable & (g.tid_count > 0), (0, pad))
@@ -763,28 +791,51 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int):
         jnp.float32
     )  # [B]
     kk = min(k, CH)
+    if mxu:
+        from ..ops.bits import unpack_words_bf16
+
+        q_bits = unpack_words_bf16(queries)  # [B, nbits] bf16
 
     def chunk(args):  # ([CH, W], [CH], off)
         w_chunk, live_c, off = args
-        x = jnp.bitwise_xor(queries[:, None, :], w_chunk[None, :, :])
-        xpop = jnp.sum(jax.lax.population_count(x), axis=-1).astype(
+        bb = jnp.sum(jax.lax.population_count(w_chunk), axis=-1).astype(
             jnp.float32
-        )  # [B, CH]
-        if g.metric == "hamming":
-            s = xpop
+        )  # [CH]
+        if mxu:
+            b_bits = unpack_words_bf16(w_chunk)  # [CH, nbits]
+            ab = jax.lax.dot_general(
+                q_bits,
+                b_bits,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, CH] = popcount(q AND row), exact
+            if g.metric == "hamming":
+                s = q_pop[:, None] + bb[None, :] - 2.0 * ab
+            else:
+                union = q_pop[:, None] + bb[None, :] - ab
+                s = jnp.where(
+                    ab == 0.0,
+                    1.0,
+                    1.0 - ab / jnp.where(union > 0, union, 1.0),
+                )
+        elif g.metric == "hamming":
+            x = jnp.bitwise_xor(queries[:, None, :], w_chunk[None, :, :])
+            s = jnp.sum(jax.lax.population_count(x), axis=-1).astype(
+                jnp.float32
+            )  # [B, CH]
         else:
             a = jnp.bitwise_and(queries[:, None, :], w_chunk[None, :, :])
             ab = jnp.sum(jax.lax.population_count(a), axis=-1).astype(
                 jnp.float32
             )
-            bb = jnp.sum(
-                jax.lax.population_count(w_chunk), axis=-1
-            ).astype(jnp.float32)
             union = q_pop[:, None] + bb[None, :] - ab
             s = jnp.where(
                 ab == 0.0, 1.0, 1.0 - ab / jnp.where(union > 0, union, 1.0)
             )
         s = jnp.where(live_c[None, :], s, jnp.inf)
+        if approx:
+            d_c, i_c = jax.lax.approx_min_k(s, kk, recall_target=0.98)
+            return d_c, jnp.where(jnp.isfinite(d_c), i_c + off, -1)
         neg, i_c = jax.lax.top_k(-s, kk)
         return -neg, jnp.where(jnp.isfinite(neg), i_c + off, -1)
 
@@ -1007,7 +1058,9 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
                 g, queries, max(k, 1), approx=engine == "approx"
             )
         elif index.kind == "bit":
-            beam_d, beam_ids = _exact_search_bits(g, queries, max(k, 1))
+            beam_d, beam_ids = _exact_search_bits(
+                g, queries, max(k, 1), approx=engine == "approx"
+            )
         else:
             beam_d, beam_ids = _exact_search_sparse(
                 g, queries[0], queries[1], max(k, 1), dim=index.dim

@@ -81,3 +81,18 @@ def gathered(
         union = aa + bb - ab
         return jnp.where(ab == 0.0, 1.0, 1.0 - ab / jnp.where(union > 0, union, 1.0))
     raise ValueError(f"unknown bit metric: {metric}")
+
+
+def unpack_words_bf16(words: jax.Array) -> jax.Array:
+    """Device-side unpack: [N, W] uint32 -> [N, W*32] bfloat16 {0,1}.
+
+    MSB-first bit order within each word, matching ``pack_bits``. Feeds
+    the MXU bit-distance formulation: with rows/queries unpacked to
+    bf16 {0,1}, one f32-accumulated matmul gives exact
+    popcount(AND) (products are 0/1; sums stay < 2^24), from which
+    Hamming and Jaccard both derive — replacing the reference's
+    byte-LUT popcount loop (bitvec.rs:97-132) with systolic-array work.
+    """
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)  # MSB-first
+    bits = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(words.shape[0], -1).astype(jnp.bfloat16)

@@ -649,6 +649,34 @@ class TestExactEngine:
         d2, ids2 = sidx.search(data[7], 1, SearchParams(), method="exact")
         assert ids2[0] == 7
 
+    @pytest.mark.parametrize("metric", ["hamming", "jaccard"])
+    def test_exact_engine_bit_mxu_path(self, metric):
+        """B >= 32 statically selects the MXU (unpack + matmul)
+        formulation of the bit sweep; its distances must match the
+        scalar reference exactly (0/1 products accumulate in f32)."""
+        import numpy as np
+
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+        from pgvector_rx_tpu.types import bitvec
+
+        rng = np.random.default_rng(41)
+        nbits = 72  # not a multiple of 32: exercises word zero-padding
+        bits = rng.integers(0, 2, size=(300, nbits)).astype(np.uint8)
+        idx = HnswIndex.build(bits, metric=metric, method="host", seed=0)
+        q = bits[:48]  # B=48 >= 32 -> MXU path
+        d, ids = idx.search(q, 5, SearchParams(), method="exact")
+        scalar = (
+            bitvec.hamming_distance
+            if metric == "hamming"
+            else bitvec.jaccard_distance
+        )
+        ref = np.array([[scalar(qq, bits[j]) for j in range(len(bits))]
+                        for qq in q])
+        order_d = np.sort(ref, axis=1)[:, :5]
+        np.testing.assert_allclose(d, order_d, rtol=1e-6, atol=1e-6)
+        assert (ids[:, 0] == np.arange(48)).all()
+
 
 class TestDeviceScan:
     def test_streaming_exact_scan_order_and_resume(self):
