@@ -606,52 +606,57 @@ class DeviceBuilder:
             return 1.0 - jnp.clip(dots, -1.0, 1.0)
 
         def one(q, s_d, s_ids):
+            # Beam entries carry a packed key = id*2 + (1-expanded):
+            # one int32 instead of separate id and expanded arrays, so
+            # every merge sort is 2 arrays instead of 3 (the per-step
+            # sorts are the descent build's measured hot spot), and the
+            # key's natural order (by id, expanded copy first) IS the
+            # dedup order. Invalid slots use -2 (id -1, "expanded").
             S = s_ids.shape[0]
             e_row = data.vectors[jnp.clip(entry, 0, cap)]
             e_d = dist_to(q, e_row)
-            init_ids = jnp.full((W,), -1, jnp.int32)
+            init_key = jnp.full((W,), -2, jnp.int32)
             init_d = jnp.full((W,), jnp.inf, jnp.float32)
-            init_exp = jnp.ones((W,), jnp.int32)
-            init_ids = init_ids.at[:S].set(s_ids).at[S].set(entry)
-            init_d = init_d.at[:S].set(s_d).at[S].set(e_d)
-            init_exp = init_exp.at[: S + 1].set(
-                jnp.where(
-                    jnp.concatenate([s_ids, entry[None]]) >= 0, 0, 1
-                )
+            seed_ids_all = jnp.concatenate([s_ids, entry[None]])
+            init_key = init_key.at[: S + 1].set(
+                jnp.where(seed_ids_all >= 0, seed_ids_all * 2 + 1, -2)
             )
+            init_d = init_d.at[:S].set(s_d).at[S].set(e_d)
 
             def body(_, st):
-                bd, bids, bexp = st
-                unexp = jnp.where(bexp == 1, jnp.inf, bd)
+                bd, bkey = st
+                unexp = jnp.where(
+                    (bkey >= 0) & (bkey & 1 == 1), bd, jnp.inf
+                )
                 _, pos = jax.lax.top_k(-unexp, expand)
                 sel_ok = jnp.isfinite(unexp[pos])
-                bexp = bexp.at[pos].set(1)
-                u = jnp.where(sel_ok, bids[pos], -1)
+                # mark selected entries expanded (clear the low bit)
+                bkey = bkey.at[pos].set(
+                    jnp.where(sel_ok, bkey[pos] & ~1, bkey[pos])
+                )
+                u = jnp.where(sel_ok, bkey[pos] >> 1, -1)
                 nbrs = neighbors0[jnp.clip(u, 0, cap)]  # [E, lm0]
                 nbrs = jnp.where((u >= 0)[:, None], nbrs, -1).reshape(-1)
                 safe = jnp.clip(nbrs, 0, cap)
                 ok = (nbrs >= 0) & alive[safe]
                 rows = data.vectors_bf16[safe].astype(jnp.float32)
                 d_new = jnp.where(ok, dist_to(q, rows), jnp.inf)
-                ids_new = jnp.where(ok, nbrs, -1)
-                exp_new = jnp.where(ok, 0, 1)
+                key_new = jnp.where(ok, nbrs * 2 + 1, -2)
 
-                all_ids = jnp.concatenate([bids, ids_new])
+                all_key = jnp.concatenate([bkey, key_new])
                 all_d = jnp.concatenate([bd, d_new])
-                all_exp = jnp.concatenate([bexp, exp_new])
                 if dedup:
                     # dedup by id, preferring the expanded copy (so nodes
                     # already expanded in-beam are never re-expanded)
-                    o_ids, o_nexp, o_d = jax.lax.sort(
-                        [all_ids, 1 - all_exp, all_d], num_keys=2
+                    o_key, o_d = jax.lax.sort(
+                        [all_key, all_d], num_keys=1
                     )
                     dup = jnp.concatenate(
-                        [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+                        [jnp.zeros((1,), bool),
+                         (o_key[1:] >> 1) == (o_key[:-1] >> 1)]
                     )
-                    o_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
-                    sd, sids, sexp = jax.lax.sort(
-                        [o_d, o_ids, 1 - o_nexp], num_keys=2
-                    )
+                    o_d = jnp.where(dup | (o_key < 0), jnp.inf, o_d)
+                    sd, skey = jax.lax.sort([o_d, o_key], num_keys=1)
                 else:
                     # no-dedup merge: one distance sort. A node can sit
                     # in the beam twice (its unexpanded copy may be
@@ -660,25 +665,26 @@ class DeviceBuilder:
                     # forward, and duplicate final candidates collapse
                     # in Alg-4 selection (pair distance 0 prunes the
                     # copy). Recall parity is bench-verified.
-                    sd, sids, sexp = jax.lax.sort(
-                        [all_d, all_ids, all_exp], num_keys=1
-                    )
-                return sd[:W], sids[:W], sexp[:W]
+                    sd, skey = jax.lax.sort([all_d, all_key], num_keys=1)
+                return sd[:W], skey[:W]
 
-            bd, bids, _ = jax.lax.fori_loop(
-                0, steps, body, (init_d, init_ids, init_exp)
+            bd, bkey = jax.lax.fori_loop(
+                0, steps, body, (init_d, init_key)
             )
             if not dedup:
                 # one final dedup instead of per-step: duplicate ids
                 # must not reach Alg-4 selection (a zero-distance copy
                 # would survive via backfill and waste an edge slot)
-                o_ids, o_d = jax.lax.sort([bids, bd], num_keys=1)
+                o_key, o_d = jax.lax.sort([bkey, bd], num_keys=1)
                 dup = jnp.concatenate(
-                    [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+                    [jnp.zeros((1,), bool),
+                     (o_key[1:] >> 1) == (o_key[:-1] >> 1)]
                 )
-                o_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
-                bd, bids = jax.lax.sort([o_d, o_ids], num_keys=1)
-                bids = jnp.where(jnp.isfinite(bd), bids, -1)
+                o_d = jnp.where(dup | (o_key < 0), jnp.inf, o_d)
+                bd, bkey = jax.lax.sort([o_d, o_key], num_keys=1)
+            bids = jnp.where(
+                jnp.isfinite(bd) & (bkey >= 0), bkey >> 1, -1
+            )
             return bd, bids
 
         return jax.vmap(one)(q_rows, seed_d, seed_ids)
@@ -1667,6 +1673,17 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     """
     from ..graph.host import GraphElement
 
+    timing = os.environ.get("PGV_BUILD_TIMING")
+    _t0 = time.time()
+
+    def _phase(name):
+        nonlocal _t0
+        if timing:
+            t = time.time()
+            print(f"[build] phase {name} {t - _t0:.2f}s",
+                  file=sys.stderr, flush=True)
+            _t0 = t
+
     if index.kind == "dense" and isinstance(data, np.ndarray):
         vectors, kept_tids = _prepare_dense_bulk(index, data, ids)
         if index.dtype is not None and index.dtype != np.float32:
@@ -1690,7 +1707,9 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         if n == 0:
             return
         vectors = np.stack(prepared).astype(np.float32)
-    levels = np.array([index.random_level() for _ in range(n)], dtype=np.int32)
+    _phase("prep")
+    levels = index.random_levels(n)
+    _phase("levels")
 
     builder = DeviceBuilder(
         index.metric,
@@ -1709,9 +1728,11 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         or min(1024, max(64, 1 << max(n // 16, 1).bit_length() >> 1)),
     )
 
+    _phase("builder-init")
     heap_tids = [[t] for t in kept_tids]
     builder.seed_first(0)
     builder.run_all(batch_schedule(n, builder.batch_max))
+    _phase("run_all")
 
     # one download of the device-side duplicate-fold decisions; apply
     # in insertion order so TID lists match sequential-fold semantics
@@ -1720,6 +1741,7 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         t = int(absorb[e])
         heap_tids[t].extend(heap_tids[e])
         heap_tids[e] = []
+    _phase("absorb")
 
     base = len(index.elements)
     assert base == 0, "device bulk build requires an empty index"
@@ -1734,6 +1756,7 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         index.entry = entry if entry >= 0 else None
         index.serving_only = True
         index._device = _device_graph_from_builder(index, builder, heap_tids)
+        _phase("finalize-serving")
         return
 
     # ---- populate the host index from the device arrays
@@ -1903,9 +1926,7 @@ def bulk_insert(index, data, ids) -> int:
         if not index.serving_only
         else np.asarray(g.levels)[:n0]
     )
-    new_levels = np.array(
-        [index.random_level() for _ in range(n_new)], dtype=np.int32
-    )
+    new_levels = index.random_levels(n_new)
     levels = np.concatenate([old_levels.astype(np.int32), new_levels])
 
     builder = DeviceBuilder(

@@ -150,6 +150,18 @@ class HnswIndex:
         level = int(math.floor(-math.log(u) * self.ml))
         return min(level, self.max_level)
 
+    def random_levels(self, n: int) -> "np.ndarray":
+        """Vectorized ``random_level`` — consumes the identical RNG
+        stream (numpy Generator.random(n) == n sequential draws), so
+        seeded builds are bit-identical to the per-row loop while
+        skipping ~1s of Python per million rows."""
+        import numpy as np
+
+        u = self._rng.random(n)
+        u = np.where(u > 0.0, u, 1e-300)
+        levels = np.floor(-np.log(u) * self.ml).astype(np.int32)
+        return np.minimum(levels, np.int32(self.max_level))
+
     # -- value preparation ---------------------------------------------------
 
     def prepare_value(self, value):

@@ -538,7 +538,7 @@ def native_bulk_build(index, data, ids) -> None:
         kept_tids.append(int(tid))
     if not prepared:
         return
-    levels = np.array([index.random_level() for _ in prepared], dtype=np.int32)
+    levels = index.random_levels(len(prepared))
     tids = np.array(kept_tids, dtype=np.int64)
 
     if index.kind == "bit":
