@@ -112,16 +112,113 @@ def _stream_apply(vec, bf, x2, chunk, start):
     return vec, bf, x2
 
 
+def _pack_bf16_pairs(x: jax.Array) -> jax.Array:
+    """bf16 [..., 2k] -> int32 [..., k] (bit-exact adjacent-pair pack).
+
+    Neighbor ids and their bf16 pruning distances live in ONE int32
+    array so each graph mutation is ONE scatter: a TPU scatter op
+    costs ~3-9 ms nearly independent of payload size (measured
+    2026-08-17), so halving the scatter count in the commit program is
+    worth the packed layout."""
+    r = x.reshape(*x.shape[:-1], -1, 2)
+    return jax.lax.bitcast_convert_type(r, jnp.int32)
+
+
+def _unpack_bf16_pairs(c: jax.Array) -> jax.Array:
+    """int32 [..., k] -> bf16 [..., 2k] (inverse of _pack_bf16_pairs)."""
+    r = jax.lax.bitcast_convert_type(c, jnp.bfloat16)
+    return r.reshape(*c.shape[:-1], -1)
+
+
+def _pack_nbrc(ids: jax.Array, d: jax.Array) -> jax.Array:
+    """ids int32 [..., k] + d (cast to bf16) [..., k] -> [..., k + k//2].
+
+    k must be even (ground layer uses k = 2m, always even)."""
+    return jnp.concatenate(
+        [ids, _pack_bf16_pairs(d.astype(jnp.bfloat16))], axis=-1
+    )
+
+
+def _split_nbrc(c: jax.Array, k: int):
+    """[..., k + k//2] combined row -> (ids int32 [..., k], d bf16 [..., k])."""
+    return c[..., :k], _unpack_bf16_pairs(c[..., k:])
+
+
+def _upper_pack(ids_flat: jax.Array, d_flat: jax.Array, m: int, mp2: int):
+    """Layer-flat ids [R, L*m] + dists [R, L*m] -> combined [R, L*(m+mp2)].
+
+    Distances pack per layer (mp2 = ceil(m/2) int32 cols each; odd m pads
+    one inf bf16 slot) and sit AFTER all id columns: id col = l*m + j,
+    dist col = L*m + l*mp2 + j//2."""
+    R, cols = ids_flat.shape
+    L = cols // m
+    d3 = d_flat.reshape(R, L, m)
+    pad = 2 * mp2 - m
+    if pad:
+        d3 = jnp.pad(
+            d3, ((0, 0), (0, 0), (0, pad)), constant_values=jnp.inf
+        )
+    dpk = _pack_bf16_pairs(d3.astype(jnp.bfloat16)).reshape(R, L * mp2)
+    return jnp.concatenate([ids_flat, dpk], axis=-1)
+
+
+def _upper_unpack(comb: jax.Array, m: int, mp2: int):
+    """Inverse of _upper_pack: [R, L*(m+mp2)] -> (ids [R, L*m] int32,
+    d [R, L*m] bf16)."""
+    R, cols = comb.shape
+    L = cols // (m + mp2)
+    ids = comb[:, : L * m]
+    d = _unpack_bf16_pairs(comb[:, L * m :].reshape(R, L, mp2))[:, :, :m]
+    return ids, d.reshape(R, L * m)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "idw", "dw"))
+def _init_combined(rows: int, idw: int, dw: int) -> jax.Array:
+    """Fresh combined adjacency: idw id cols of -1 + dw packed-inf cols
+    (ONE program — eager per-array jnp.full would pay a tunnel dispatch
+    per buffer)."""
+    ids = jnp.full((rows, idw), -1, jnp.int32)
+    dpk = _pack_bf16_pairs(
+        jnp.full((rows, dw * 2), jnp.inf, jnp.bfloat16)
+    )
+    return jnp.concatenate([ids, dpk], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "mp2"))
+def _upper_pack_jit(ids_flat, d_flat, m: int, mp2: int):
+    return _upper_pack(ids_flat, d_flat, m, mp2)
+
+
+_pack_nbrc_jit = jax.jit(_pack_nbrc)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m", "mp2"))
+def _unpack_host_jit(nb0c, upc, k: int, m: int, mp2: int):
+    """Unpack both adjacency arrays for host download (f32 dists)."""
+    ids0, d0 = _split_nbrc(nb0c, k)
+    upi, upd = _upper_unpack(upc, m, mp2)
+    return ids0, d0.astype(jnp.float32), upi, upd.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "idw"))
+def _ids_views_jit(nb0c, upc, k: int, idw: int):
+    """Id-only contiguous views for the serving DeviceGraph."""
+    return nb0c[:, :k], upc[:, :idw]
+
+
 class BuildArrays(NamedTuple):
     """Mutable graph state threaded through the jitted steps."""
 
-    neighbors0: jax.Array  # [cap+1, 2m] int32, -1 pad
-    nbr0_dist: jax.Array  # [cap+1, 2m] f32, +inf pad
-    # upper layers stored FLAT [U+1, LMAX*m]: a trailing dim of m (16)
-    # would tile to T(8,128) on TPU, padding the minor dim 8x and LMAX
-    # to 16 — a measured 14x memory blowup (8GB at 10M rows)
-    upper_nbrs: jax.Array  # [U+1, LMAX*m] int32
-    upper_dist: jax.Array  # [U+1, LMAX*m] f32
+    # ground-layer adjacency, combined layout (see _pack_nbrc):
+    # cols [0, 2m) = neighbor ids int32 (-1 pad), cols [2m, 3m) =
+    # bf16-pair-packed pruning distances (+inf pad)
+    nb0c: jax.Array  # [cap+1, 3m] int32
+    # upper layers stored FLAT [U+1, LMAX*m (+ LMAX*m/2 packed dists)]:
+    # a trailing dim of m (16) would tile to T(8,128) on TPU, padding
+    # the minor dim 8x and LMAX to 16 — a measured 14x memory blowup
+    # (8GB at 10M rows). Combined layout: id col lidx*m + j, dist int32
+    # col LMAX*m + lidx*(m/2) + j/2 (pairs pack within a layer; m even)
+    upc: jax.Array  # [U+1, LMAX*m*3/2] int32
     alive: jax.Array  # [cap+1] bool — committed, not duplicate-folded
     tid_counts: jax.Array  # [cap+1] int32 heap TIDs per element (<= 10)
     absorb: jax.Array  # [cap+1] int32 duplicate-fold target (-1 = none)
@@ -445,17 +542,12 @@ class DeviceBuilder:
             >= np.arange(1, self.lmax + 1, dtype=np.int32)[:, None]
         )
 
+        # pruning distances stored bf16 inside the combined arrays:
+        # ranking-only state, and the f32 form is 2GB of HBM at 10M rows
+        self.mp2 = (m + 1) // 2  # packed dist cols per upper layer
         self.arrays = BuildArrays(
-            neighbors0=jnp.full((cap_pad, self.lm0), -1, dtype=jnp.int32),
-            # pruning distances stored bf16: ranking-only state, and the
-            # f32 form is 2GB of HBM at 10M rows
-            nbr0_dist=jnp.full((cap_pad, self.lm0), jnp.inf, dtype=jnp.bfloat16),
-            upper_nbrs=jnp.full(
-                (upper_pad, self.lmax * m), -1, dtype=jnp.int32
-            ),
-            upper_dist=jnp.full(
-                (upper_pad, self.lmax * m), jnp.inf, dtype=jnp.bfloat16
-            ),
+            nb0c=_init_combined(cap_pad, self.lm0, self.lm0 // 2),
+            upc=_init_combined(upper_pad, self.lmax * m, self.lmax * self.mp2),
             alive=jnp.zeros((cap_pad,), dtype=jnp.bool_),
             tid_counts=jnp.zeros((cap_pad,), dtype=jnp.int32),
             absorb=jnp.full((cap_pad,), -1, dtype=jnp.int32),
@@ -496,8 +588,8 @@ class DeviceBuilder:
             self._score_select_step, static_argnames=("width",)
         )
         self._fwd_jit = jax.jit(self._fwd_commit_step, donate_argnums=(1,))
-        self._be0_jit = jax.jit(self._backedge0_step, donate_argnums=(1, 2))
-        self._beu_jit = jax.jit(self._backedge_upper_compact, donate_argnums=(1, 2))
+        self._be0_jit = jax.jit(self._backedge0_step, donate_argnums=(1,))
+        self._beu_jit = jax.jit(self._backedge_upper_compact, donate_argnums=(1,))
         self._commit_jit = jax.jit(self._commit_all_step, donate_argnums=(1,))
         self._init_members_jit = jax.jit(
             self._init_members_step, donate_argnums=(1,)
@@ -573,7 +665,7 @@ class DeviceBuilder:
         return sd, sids
 
     def _beam_ground_candidates(
-        self, data: BuildData, neighbors0, alive, entry, q_rows, seed_d,
+        self, data: BuildData, nb0c, alive, entry, q_rows, seed_d,
         seed_ids, steps: int, expand: int, dedup: bool = True,
     ):
         """Ground-layer candidate generation by batched beam descent.
@@ -635,7 +727,9 @@ class DeviceBuilder:
                     jnp.where(sel_ok, bkey[pos] & ~1, bkey[pos])
                 )
                 u = jnp.where(sel_ok, bkey[pos] >> 1, -1)
-                nbrs = neighbors0[jnp.clip(u, 0, cap)]  # [E, lm0]
+                # gather combined rows, use the id prefix (the extra
+                # packed-dist cols are m int32s on a tiny [E, 3m] gather)
+                nbrs = nb0c[jnp.clip(u, 0, cap)][:, : self.lm0]  # [E, lm0]
                 nbrs = jnp.where((u >= 0)[:, None], nbrs, -1).reshape(-1)
                 safe = jnp.clip(nbrs, 0, cap)
                 ok = (nbrs >= 0) & alive[safe]
@@ -844,7 +938,7 @@ class DeviceBuilder:
                 expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
                 dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
                 cand_d, cand_idx = self._beam_ground_candidates(
-                    data, arrays.neighbors0, alive, arrays.entry, q_rows,
+                    data, arrays.nb0c, alive, arrays.entry, q_rows,
                     seed_d, seed_ids, steps, expand, dedup,
                 )
             # membership assignment for the IVF table: nearest committed
@@ -1073,12 +1167,11 @@ class DeviceBuilder:
             .at[dump].set(-1),
         )
 
-        # ---- forward edges
+        # ---- forward edges (ids + packed dists: ONE scatter per array)
         fwd_target = jnp.where(alive, new_ids, dump)
         arrays = arrays._replace(
-            neighbors0=arrays.neighbors0.at[fwd_target].set(sel_ids[:, 0, :]),
-            nbr0_dist=arrays.nbr0_dist.at[fwd_target].set(
-                sel_d[:, 0, :].astype(arrays.nbr0_dist.dtype)
+            nb0c=arrays.nb0c.at[fwd_target].set(
+                _pack_nbrc(sel_ids[:, 0, :], sel_d[:, 0, :])
             ),
             alive=arrays.alive.at[fwd_target].set(True).at[dump].set(False),
         )
@@ -1086,12 +1179,12 @@ class DeviceBuilder:
         starget = jnp.where(alive & (slot >= 0), slot, self.upper_dump)
         # [B, LMAX, m] block scatter of all upper layers at once
         arrays = arrays._replace(
-            upper_nbrs=arrays.upper_nbrs.at[starget].set(
-                sel_ids[:, 1:, : self.m].reshape(B, -1)
-            ),
-            upper_dist=arrays.upper_dist.at[starget].set(
-                sel_d[:, 1:, : self.m].reshape(B, -1).astype(
-                    arrays.upper_dist.dtype
+            upc=arrays.upc.at[starget].set(
+                _upper_pack(
+                    sel_ids[:, 1:, : self.m].reshape(B, -1),
+                    sel_d[:, 1:, : self.m].reshape(B, -1),
+                    self.m,
+                    self.mp2,
                 )
             ),
         )
@@ -1211,7 +1304,7 @@ class DeviceBuilder:
             nd, nids = select_rows((old_ids, old_d, add_ids, add_d))
         return head, s_tgt, nids, nd
 
-    def _backedge0_step(self, data: BuildData, neighbors0, nbr0_dist,
+    def _backedge0_step(self, data: BuildData, nb0c,
                         alive_full, start, size, sel_d, sel_ids):
         """Ground-layer back edges (the bulk of the work)."""
         B = self.batch_max
@@ -1228,21 +1321,19 @@ class DeviceBuilder:
         tgt = jnp.where(valid, tgt, dump)
         dst = jnp.where(valid, dst, jnp.inf)
 
-        # pre-gather old rows in sorted-target order
+        # pre-gather old combined rows in sorted-target order (ONE
+        # gather and ONE scatter for ids + dists — the scatter's fixed
+        # per-op cost, not its payload, dominates the commit program)
         s_tgt0 = jax.lax.sort([tgt, dst, src], num_keys=2)[0]
-        old_ids = neighbors0[s_tgt0]
-        old_d = nbr0_dist[s_tgt0]
+        old_ids, old_d = _split_nbrc(nb0c[s_tgt0], lm)
         head, s_tgt, nids, nd = self._resolve_backedges(
             data, old_ids, old_d, tgt, dst, src, lm,
             K=min(lm, int(os.environ.get("PGV_BUILD_BE_K", 16)))
         )
         scatter_tgt = jnp.where(head, s_tgt, dump)
-        return (
-            neighbors0.at[scatter_tgt].set(nids),
-            nbr0_dist.at[scatter_tgt].set(nd.astype(nbr0_dist.dtype)),
-        )
+        return nb0c.at[scatter_tgt].set(_pack_nbrc(nids, nd))
 
-    def _backedge_upper_compact(self, data: BuildData, upper_nbrs, upper_dist,
+    def _backedge_upper_compact(self, data: BuildData, upc,
                                 alive_full, start, size, sel_d, sel_ids):
         """Upper-layer back edges over a device-compacted request list.
 
@@ -1304,9 +1395,21 @@ class DeviceBuilder:
         slot = data.upper_slot[jnp.clip(s_tgt, 0, self.cap)]
         slot_c = jnp.clip(slot, 0, dump_slot)
         lidx = jnp.clip(s_layer - 1, 0, self.lmax - 1)
-        ucols = lidx[:, None] * self.m + jnp.arange(self.m)[None, :]
-        old_ids = upper_nbrs[slot_c[:, None], ucols]
-        old_d = upper_dist[slot_c[:, None], ucols]
+        # combined per-(slot, layer) columns: m id cols + mp2 packed
+        # dist cols (see _upper_pack layout) — ONE gather / ONE scatter
+        mp2 = self.mp2
+        ucols = jnp.concatenate(
+            [
+                lidx[:, None] * self.m + jnp.arange(self.m)[None, :],
+                self.lmax * self.m
+                + lidx[:, None] * mp2
+                + jnp.arange(mp2)[None, :],
+            ],
+            axis=1,
+        )  # [RU, m + mp2]
+        old_comb = upc[slot_c[:, None], ucols]
+        old_ids = old_comb[:, : self.m]
+        old_d = _unpack_bf16_pairs(old_comb[:, self.m :])[:, : self.m]
 
         cand_ids = jnp.concatenate([old_ids, add_ids], axis=1)  # [RU, lm+K]
         cand_d = jnp.concatenate([old_d, add_d], axis=1)
@@ -1325,11 +1428,8 @@ class DeviceBuilder:
         )
 
         sslot = jnp.where(head & (slot >= 0), slot_c, dump_slot)
-        return (
-            upper_nbrs.at[sslot[:, None], ucols].set(nids),
-            upper_dist.at[sslot[:, None], ucols].set(
-                nd.astype(upper_dist.dtype)
-            ),
+        return upc.at[sslot[:, None], ucols].set(
+            _upper_pack(nids, nd, self.m, mp2)
         )
 
     def _commit_all_step(self, data: BuildData, arrays: BuildArrays, start,
@@ -1341,17 +1441,13 @@ class DeviceBuilder:
         a = self._fwd_commit_step(
             data, arrays, start, size, sel_d, sel_ids, assign
         )
-        nb0, nb0d = self._backedge0_step(
-            data, a.neighbors0, a.nbr0_dist, a.alive, start, size, sel_d,
-            sel_ids,
+        nb0c = self._backedge0_step(
+            data, a.nb0c, a.alive, start, size, sel_d, sel_ids,
         )
-        up, upd = self._backedge_upper_compact(
-            data, a.upper_nbrs, a.upper_dist, a.alive, start, size, sel_d,
-            sel_ids,
+        upc = self._backedge_upper_compact(
+            data, a.upc, a.alive, start, size, sel_d, sel_ids,
         )
-        return a._replace(
-            neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
-        )
+        return a._replace(nb0c=nb0c, upc=upc)
 
     def _bucket_program(self, data: BuildData, arrays: BuildArrays,
                         starts, sizes, nb, width: int):
@@ -1447,6 +1543,21 @@ class DeviceBuilder:
         )
 
     # -- public driver -------------------------------------------------------
+
+    def host_adjacency(self):
+        """Download the packed adjacency unpacked on device (avoids any
+        host bf16 byte-order assumptions): returns np arrays
+        (nb0_ids [cap+1, lm0], nb0_d f32, up_ids [U+1, LMAX*m],
+        up_d f32)."""
+        ids0, d0, upi, upd = _unpack_host_jit(
+            self.arrays.nb0c, self.arrays.upc, self.lm0, self.m, self.mp2
+        )
+        return (
+            np.asarray(ids0),
+            np.asarray(d0),
+            np.asarray(upi),
+            np.asarray(upd),
+        )
 
     def seed_first(self, first_id: int) -> None:
         self.arrays = self.arrays._replace(
@@ -1596,20 +1707,16 @@ class DeviceBuilder:
             )
             int(np.asarray(a.entry))
             t1 = time.time()
-            nb0, nb0d = self._be0_jit(
-                self.data, a.neighbors0, a.nbr0_dist, a.alive, jstart, jsize,
-                sel_d, sel_ids,
+            nb0c = self._be0_jit(
+                self.data, a.nb0c, a.alive, jstart, jsize, sel_d, sel_ids,
             )
-            int(np.asarray(nb0[0, 0]))
+            int(np.asarray(nb0c[0, 0]))
             t2 = time.time()
-            up, upd = self._beu_jit(
-                self.data, a.upper_nbrs, a.upper_dist, a.alive, jstart, jsize,
-                sel_d, sel_ids,
+            upc = self._beu_jit(
+                self.data, a.upc, a.alive, jstart, jsize, sel_d, sel_ids,
             )
-            self.arrays = a._replace(
-                neighbors0=nb0, nbr0_dist=nb0d, upper_nbrs=up, upper_dist=upd
-            )
-            int(np.asarray(up[0, 0]))
+            self.arrays = a._replace(nb0c=nb0c, upc=upc)
+            int(np.asarray(upc[0, 0]))
             t3 = time.time()
             print(
                 f"[build] batch@{start} commit {t3-t0:.3f}s "
@@ -1760,15 +1867,12 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         return
 
     # ---- populate the host index from the device arrays
-    neighbors0 = np.asarray(builder.arrays.neighbors0)[: n]
-    nbr0_dist = np.asarray(builder.arrays.nbr0_dist)[: n]
-    u_pad = builder.arrays.upper_nbrs.shape[0]
-    upper_nbrs = np.asarray(builder.arrays.upper_nbrs).reshape(
-        u_pad, builder.lmax, builder.m
-    )
-    upper_dist = np.asarray(builder.arrays.upper_dist).reshape(
-        u_pad, builder.lmax, builder.m
-    )
+    nb0_ids, nb0_d, up_ids, up_d = builder.host_adjacency()
+    neighbors0 = nb0_ids[:n]
+    nbr0_dist = nb0_d[:n]
+    u_pad = up_ids.shape[0]
+    upper_nbrs = up_ids.reshape(u_pad, builder.lmax, builder.m)
+    upper_dist = up_d.reshape(u_pad, builder.lmax, builder.m)
     upper_slot = np.asarray(builder.upper_slot)[: n]
 
     for i in range(n):
@@ -1875,10 +1979,8 @@ def _seed_builder_from_graph(builder: DeviceBuilder, g, n0: int) -> None:
     tid_counts[:n0] = np.asarray(g.tid_count)[:n0]
 
     builder.arrays = builder.arrays._replace(
-        neighbors0=nb0_j,
-        nbr0_dist=nbr0_dist.astype(builder.arrays.nbr0_dist.dtype),
-        upper_nbrs=up_j,
-        upper_dist=up_dist.astype(builder.arrays.upper_dist.dtype),
+        nb0c=_pack_nbrc_jit(nb0_j, nbr0_dist),
+        upc=_upper_pack_jit(up_j, up_dist, builder.m, builder.mp2),
         alive=jnp.asarray(alive),
         tid_counts=jnp.asarray(tid_counts),
         absorb=jnp.full((builder.cap + 1,), -1, dtype=jnp.int32),
@@ -1986,10 +2088,7 @@ def bulk_insert(index, data, ids) -> int:
     # whose adjacency changed (back-edge targets)
     from ..graph.host import GraphElement
 
-    nb0_new = np.asarray(builder.arrays.neighbors0)
-    nb0d_new = np.asarray(builder.arrays.nbr0_dist)
-    up_new = np.asarray(builder.arrays.upper_nbrs)
-    upd_new = np.asarray(builder.arrays.upper_dist)
+    nb0_new, nb0d_new, up_new, upd_new = builder.host_adjacency()
     upper_slot = np.asarray(builder.upper_slot)
     old_nb0 = np.full((n0, builder.lm0), -1, dtype=np.int32)
     old_nb0[:] = np.asarray(g.neighbors0)[:n0, : builder.lm0]
@@ -2062,6 +2161,14 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids):
         tid_count[i] = len(tids)
         if tids:
             emit_tid[i] = tids[0]
+    # serving gathers want contiguous id-only rows: slice the id prefix
+    # out of the packed build arrays once (one program per build)
+    nb0_ids, up_ids = _ids_views_jit(
+        builder.arrays.nb0c,
+        builder.arrays.upc,
+        builder.lm0,
+        builder.lmax * builder.m,
+    )
     return DeviceGraph(
         kind=index.kind,
         metric=index.metric,
@@ -2069,8 +2176,8 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids):
         m=index.params.m,
         entry=int(np.asarray(builder.arrays.entry)),
         entry_level=int(np.asarray(builder.arrays.entry_level)),
-        neighbors0=builder.arrays.neighbors0,
-        upper_neighbors=builder.arrays.upper_nbrs,
+        neighbors0=nb0_ids,
+        upper_neighbors=up_ids,
         upper_slot=builder.upper_slot,
         levels=builder.levels,
         traversable=builder.arrays.alive,

@@ -292,3 +292,56 @@ def test_descent_build_small_efc(monkeypatch):
     # small ef through the coarse-seeded beam (regression: 8 seeds
     # overflowed an ef<8 beam)
     assert (np.asarray(ids)[:, 0] == np.arange(8)).all()
+
+
+def test_packed_adjacency_roundtrip():
+    """The combined id+bf16-dist layout (one scatter per graph mutation)
+    must round-trip bit-exactly, including the odd-m upper padding."""
+    import jax.numpy as jnp
+
+    from pgvector_rx_tpu.graph.device_build import (
+        _pack_nbrc, _split_nbrc, _upper_pack, _upper_unpack,
+    )
+
+    rng = np.random.default_rng(7)
+    # ground layer: k = 2m, always even
+    k = 12
+    ids = rng.integers(-1, 5000, (9, k)).astype(np.int32)
+    d = rng.random((9, k)).astype(np.float32)
+    d[ids < 0] = np.inf
+    comb = _pack_nbrc(jnp.asarray(ids), jnp.asarray(d))
+    assert comb.shape == (9, k + k // 2)
+    r_ids, r_d = _split_nbrc(comb, k)
+    np.testing.assert_array_equal(np.asarray(r_ids), ids)
+    np.testing.assert_array_equal(
+        np.asarray(r_d), d.astype(jnp.bfloat16)
+    )
+
+    # upper layers: odd m pads one inf bf16 slot per layer
+    for m in (5, 8):
+        mp2 = (m + 1) // 2
+        L = 3
+        uids = rng.integers(-1, 5000, (7, L * m)).astype(np.int32)
+        ud = rng.random((7, L * m)).astype(np.float32)
+        ud[uids < 0] = np.inf
+        ucomb = _upper_pack(jnp.asarray(uids), jnp.asarray(ud), m, mp2)
+        assert ucomb.shape == (7, L * (m + mp2))
+        ru_ids, ru_d = _upper_unpack(ucomb, m, mp2)
+        np.testing.assert_array_equal(np.asarray(ru_ids), uids)
+        np.testing.assert_array_equal(
+            np.asarray(ru_d), ud.astype(jnp.bfloat16)
+        )
+
+
+def test_device_build_odd_m_recall():
+    """Odd m exercises the padded upper-layer dist packing end to end."""
+    rng = np.random.default_rng(31)
+    data = rng.standard_normal((3000, 16)).astype(np.float32)
+    idx = HnswIndex.build(
+        data, metric="l2", method="device",
+        params=IndexParams(m=5, ef_construction=32), seed=3,
+    )
+    q = rng.standard_normal((30, 16)).astype(np.float32)
+    gt = brute_force(data, q, "l2", 10)
+    _, ids = idx.search(q, 10, SearchParams(ef_search=60), method="host")
+    assert recall_at_k(ids, gt, 10) >= 0.9
