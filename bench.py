@@ -87,6 +87,43 @@ def make_dataset(n, d, n_q, seed=0, n_clusters=1000, intrinsic=16):
     return data.astype(np.float32), queries.astype(np.float32)
 
 
+def make_dataset_device(n, d, n_q, seed=0, n_clusters=1000, intrinsic=16):
+    """make_dataset's structure generated ON DEVICE (jax PRNG): same
+    SIFT-like geometry (low intrinsic dim, overlapping clusters), zero
+    host<->device transfer. Used by PGV_BENCH_DEVICE_INPUT=1, where the
+    whole bench — corpus, queries, build, ground truth, serving — runs
+    device-resident (the tunneled dev harness's transfer bandwidth
+    fluctuates by orders of magnitude and would otherwise dominate)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen():
+        ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+        proj = jax.random.normal(ks[0], (intrinsic, d), jnp.float32)
+        proj = proj / jnp.sqrt(float(intrinsic))
+        centers_z = jax.random.normal(
+            ks[1], (n_clusters, intrinsic), jnp.float32
+        )
+        assign = jax.random.randint(ks[2], (n,), 0, n_clusters)
+        z = centers_z[assign] + jax.random.normal(
+            ks[3], (n, intrinsic), jnp.float32
+        )
+        data = z @ proj + 0.05 * jax.random.normal(
+            ks[4], (n, d), jnp.float32
+        )
+        qsel = jax.random.randint(ks[5], (n_q,), 0, n)
+        qz = z[qsel] + 0.3 * jax.random.normal(
+            ks[6], (n_q, intrinsic), jnp.float32
+        )
+        queries = qz @ proj + 0.05 * jax.random.normal(
+            ks[7], (n_q, d), jnp.float32
+        )
+        return data, queries
+
+    return gen()
+
+
 def main():
     n = int(os.environ.get("PGV_BENCH_N", 1_000_000))
     n_q = int(os.environ.get("PGV_BENCH_Q", 16384))
@@ -111,8 +148,19 @@ def main():
     from pgvector_rx_tpu.graph import device as device_mod
     from pgvector_rx_tpu.index.hnsw import HnswIndex
 
-    log(f"generating {n}x{dim} SIFT-like data...")
-    if os.environ.get("PGV_BENCH_DATA") == "hard":
+    device_mode = (
+        os.environ.get("PGV_BENCH_DEVICE_INPUT") == "1"
+        and os.environ.get("PGV_BENCH_DATA") != "hard"
+    )
+    data = queries = None
+    if device_mode:
+        log(f"generating {n}x{dim} SIFT-like data ON DEVICE...")
+        t0 = time.time()
+        data_dev, queries_stage = make_dataset_device(n, dim, n_q)
+        int(np.asarray(queries_stage[0, 0] * 0))  # sync (tunnel)
+        log(f"  device datagen: {time.time()-t0:.1f}s")
+    elif os.environ.get("PGV_BENCH_DATA") == "hard":
+        log(f"generating {n}x{dim} separated-ball data...")
         # pathological separated-ball variant (robustness experiments)
         data = make_sift_like(n, dim)
         rng = np.random.default_rng(99)
@@ -121,6 +169,7 @@ def main():
             (n_q, dim)
         ).astype(np.float32)
     else:
+        log(f"generating {n}x{dim} SIFT-like data...")
         data, queries = make_dataset(n, dim, n_q)
 
     save_path = os.environ.get("PGV_BENCH_SAVE")
@@ -132,10 +181,15 @@ def main():
         build_rate = float("nan")
         log(f"  load: {build_s:.1f}s")
     else:
+        # device_mode: the corpus is already device-resident (the
+        # TPU-native production story — embeddings produced on the same
+        # chip) and the build runs transfer-free end to end.
+        build_input = data_dev if device_mode else data
         log("building index (batched device build)...")
         t0 = time.time()
         index = HnswIndex.build(
-            data, metric="l2", method="device", seed=1, host_graph=False
+            build_input, metric="l2", method="device", seed=1,
+            host_graph=False,
         )
         build_s = time.time() - t0
         build_rate = n / build_s
@@ -146,7 +200,7 @@ def main():
 
     # stage queries in HBM once: serving steady state measures the
     # engines, not the harness's host-device tunnel
-    queries_dev = jnp.asarray(queries)
+    queries_dev = queries_stage if device_mode else jnp.asarray(queries)
 
     log("computing exact ground truth...")
     from pgvector_rx_tpu.ops.pallas_bruteforce import available, l2_topk
@@ -156,7 +210,7 @@ def main():
         # independent GT via the fused Pallas kernel (stages a second
         # corpus copy — at 10M rows that exceeds HBM; PGV_BENCH_GT=engine
         # reuses the index's own exact sweep, which is also recall-1.0)
-        base = jnp.asarray(data)
+        base = data_dev if device_mode else jnp.asarray(data)
         gt_parts = [
             l2_topk(base, queries_dev[s : s + 1024], k)[1]
             for s in range(0, n_q, 1024)

@@ -112,6 +112,34 @@ def _stream_apply(vec, bf, x2, chunk, start):
     return vec, bf, x2
 
 
+def _is_device_array(x) -> bool:
+    """True for jax.Array inputs (device-resident corpus path)."""
+    if isinstance(x, np.ndarray):
+        return False
+    mod = type(x).__module__
+    return mod.startswith("jax") or mod.startswith("jaxlib")
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _ingest_device(vec, rows: int):
+    """Pad a device-resident [N, D] corpus to the capacity bucket and
+    derive its bf16/x2 views — the device-input replacement for the
+    host streaming upload (no host<->device transfer at all)."""
+    buf = jnp.zeros((rows, vec.shape[1]), jnp.float32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, vec.astype(jnp.float32), (0, 0)
+    )
+    return buf, buf.astype(jnp.bfloat16), jnp.sum(buf * buf, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("upper_pad",))
+def _ingest_upper_device(vec_pad, ups, perm, upper_pad: int):
+    """Scatter the level>=1 rows of a device-resident corpus into their
+    shuffled upper slots (device analog of the host up_vecs fill)."""
+    buf = jnp.zeros((upper_pad, vec_pad.shape[1]), jnp.float32)
+    return buf.at[perm].set(vec_pad[ups])
+
+
 def _pack_bf16_pairs(x: jax.Array) -> jax.Array:
     """bf16 [..., 2k] -> int32 [..., k] (bit-exact adjacent-pair pack).
 
@@ -489,8 +517,10 @@ class DeviceBuilder:
         self._uploaded_rows = cap_pad
         self._host_rows = None
         self._inflight: list = []
+        device_input = _is_device_array(vectors)
         stream = (
-            os.environ.get("PGV_BUILD_STREAM", "1") != "0"
+            not device_input
+            and os.environ.get("PGV_BUILD_STREAM", "1") != "0"
             and n * self.dim * 4 >= _STREAM_MIN_BYTES
         )
         if stream:
@@ -506,6 +536,11 @@ class DeviceBuilder:
             self._host_rows = np.ascontiguousarray(vectors, dtype=np.float32)
             self._stream_bufs = _stream_init(cap_pad, self.dim)
             self.vectors = self._stream_bufs[0]
+        elif device_input:
+            # corpus already on device (e.g. produced by a TPU embedding
+            # model): pad + derive views in one program, zero transfer
+            self._ingested = _ingest_device(vectors, rows=cap_pad)
+            self.vectors = self._ingested[0]
         else:
             pad_rows = np.zeros((cap_pad - n, self.dim), dtype=np.float32)
             self.vectors = jnp.asarray(
@@ -531,8 +566,16 @@ class DeviceBuilder:
         )[: self.n_upper].astype(np.int32)
         upper_slot[ups] = perm
         self.upper_slot = jnp.asarray(upper_slot)
-        up_vecs = np.zeros((upper_pad, self.dim), np.float32)
-        up_vecs[perm] = vectors.astype(np.float32)[ups]
+        if device_input:
+            up_vecs_dev = _ingest_upper_device(
+                self.vectors,
+                jnp.asarray(ups.astype(np.int32)),
+                jnp.asarray(perm),
+                upper_pad=upper_pad,
+            )
+        else:
+            up_vecs = np.zeros((upper_pad, self.dim), np.float32)
+            up_vecs[perm] = vectors.astype(np.float32)[ups]
         up_ids = np.full(upper_pad, self.cap, dtype=np.int32)
         up_ids[perm] = ups
         up_levels = np.full(upper_pad, -1, dtype=np.int32)
@@ -562,13 +605,16 @@ class DeviceBuilder:
                 (upper_pad if self.ivf else 1,), dtype=jnp.int32
             ),
         )
-        up_vecs_j = jnp.asarray(up_vecs)
+        up_vecs_j = up_vecs_dev if device_input else jnp.asarray(up_vecs)
         # fused square+reduce: the eager form materializes a second
         # full-corpus f32 temp (5.4GB at 10M rows)
         _x2 = jax.jit(lambda v: jnp.sum(v * v, axis=1))
         if stream:
             vec_buf, bf_buf, x2_buf = self._stream_bufs
             del self._stream_bufs
+        elif device_input:
+            vec_buf, bf_buf, x2_buf = self._ingested
+            del self._ingested
         else:
             vec_buf = self.vectors
             bf_buf = self.vectors.astype(jnp.bfloat16)
@@ -1764,6 +1810,47 @@ def _prepare_dense_bulk(index, data, ids):
     return arr, [int(t) for t in tids]
 
 
+def _prepare_dense_device(index, data, ids):
+    """Device-side prepare for a device-resident corpus: validation,
+    cosine normalize + zero-norm row skip (build.rs:426-438 semantics),
+    halfvec store-dtype rounding — all on device, downloading only a
+    scalar (finite check) and, for cosine, the keep mask.
+
+    Note: cosine normalization divides in f32 on device (the host
+    prepare divides in f64); the two paths may differ in the last ulp
+    of normalized values.
+    """
+    if data.ndim != 2 or data.shape[1] != index.dim:
+        raise ValueError(f"expected {index.dim} dimensions")
+    tids = np.asarray(list(ids), dtype=np.int64)
+    v = data
+    if v.dtype != jnp.float32:
+        v = jax.jit(lambda x: x.astype(jnp.float32))(v)
+    if index.metric == "cosine":
+        norm2, finite = jax.jit(
+            lambda x: (jnp.sum(x * x, axis=1), jnp.isfinite(x).all())
+        )(v)
+        if not bool(np.asarray(finite)):
+            raise ValueError("NaN or infinity not allowed in vector")
+        keep = np.asarray(norm2) > 0.0
+        if not keep.all():
+            sel = jnp.asarray(np.nonzero(keep)[0].astype(np.int32))
+            v = jax.jit(lambda x, s: x[s])(v, sel)
+            tids = tids[keep]
+        v = jax.jit(
+            lambda x: x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+        )(v)
+    else:
+        finite = jax.jit(lambda x: jnp.isfinite(x).all())(v)
+        if not bool(np.asarray(finite)):
+            raise ValueError("NaN or infinity not allowed in vector")
+    if index.dtype is not None and index.dtype != np.float32:
+        # round through the store dtype (halfvec) — see the host path
+        hdt = jnp.float16 if index.dtype == np.float16 else index.dtype
+        v = jax.jit(lambda x: x.astype(hdt).astype(jnp.float32))(v)
+    return v, [int(t) for t in tids]
+
+
 def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     """Entry point called by HnswIndex.build(method='device').
 
@@ -1791,7 +1878,12 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
                   file=sys.stderr, flush=True)
             _t0 = t
 
-    if index.kind == "dense" and isinstance(data, np.ndarray):
+    if index.kind == "dense" and _is_device_array(data):
+        vectors, kept_tids = _prepare_dense_device(index, data, ids)
+        n = int(vectors.shape[0])
+        if n == 0:
+            return
+    elif index.kind == "dense" and isinstance(data, np.ndarray):
         vectors, kept_tids = _prepare_dense_bulk(index, data, ids)
         if index.dtype is not None and index.dtype != np.float32:
             # round through the store dtype (halfvec): the reference
@@ -1857,7 +1949,10 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     if not host_graph:
         # serving-only: bulk-load the store, keep TIDs, and hand the
         # index a DeviceGraph built straight from the builder arrays
-        index.store.bulk_load(vectors.astype(store_dtype))
+        if isinstance(vectors, np.ndarray):
+            index.store.bulk_load(vectors.astype(store_dtype))
+        else:  # device-resident input: host copy only if ever needed
+            index.store.bulk_load_device(vectors)
         index.heap_tids = heap_tids
         entry = int(np.asarray(builder.arrays.entry))
         index.entry = entry if entry >= 0 else None
@@ -1867,6 +1962,8 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         return
 
     # ---- populate the host index from the device arrays
+    if not isinstance(vectors, np.ndarray):
+        vectors = np.asarray(vectors)  # host graph keeps host values
     nb0_ids, nb0_d, up_ids, up_d = builder.host_adjacency()
     neighbors0 = nb0_ids[:n]
     nbr0_dist = nb0_d[:n]
@@ -2009,20 +2106,32 @@ def bulk_insert(index, data, ids) -> int:
     """
     if index.kind != "dense":
         raise ValueError("bulk_insert supports dense indexes only")
-    arr, kept_tids = _prepare_dense_bulk(index, data, ids)
-    if index.dtype is not None and index.dtype != np.float32:
-        arr = arr.astype(index.dtype).astype(np.float32)
-    n_new = len(arr)
+    dev_in = _is_device_array(data)
+    if dev_in:
+        arr, kept_tids = _prepare_dense_device(index, data, ids)
+        n_new = int(arr.shape[0])
+    else:
+        arr, kept_tids = _prepare_dense_bulk(index, data, ids)
+        if index.dtype is not None and index.dtype != np.float32:
+            arr = arr.astype(index.dtype).astype(np.float32)
+        n_new = len(arr)
     if n_new == 0:
         return 0
     n0 = len(index.elements) if not index.serving_only else index.store.count
     if n0 == 0 or index.entry is None:
         bulk_build(index, arr, kept_tids, host_graph=not index.serving_only)
-        return len(arr)
+        return n_new
 
     g = index.device_graph()
-    old_rows = np.asarray(index.store.rows[:n0], dtype=np.float32)
-    vectors = np.concatenate([old_rows, arr])
+    if dev_in:
+        # old rows come from the device graph itself — the whole insert
+        # runs transfer-free on a device-backed index
+        vectors = jnp.concatenate(
+            [g.values[:n0].astype(jnp.float32), arr]
+        )
+    else:
+        old_rows = np.asarray(index.store.rows[:n0], dtype=np.float32)
+        vectors = np.concatenate([old_rows, arr])
     old_levels = (
         np.fromiter((e.level for e in index.elements), np.int32, n0)
         if not index.serving_only
@@ -2073,8 +2182,14 @@ def bulk_insert(index, data, ids) -> int:
 
     store_dtype = index.dtype or np.float32
     if index.serving_only:
-        for i in range(n_new):
-            index.store.append(arr[i].astype(store_dtype))
+        if dev_in and index.store._device_rows is not None:
+            # device-backed store stays device-backed: swap in the
+            # concatenated corpus, still zero downloads
+            index.store.reset_device(vectors)
+        else:
+            arr_host = arr if isinstance(arr, np.ndarray) else np.asarray(arr)
+            for i in range(n_new):
+                index.store.append(arr_host[i].astype(store_dtype))
         index.heap_tids.extend(new_tids)
         entry = int(np.asarray(builder.arrays.entry))
         index.entry = entry if entry >= 0 else None
@@ -2088,6 +2203,8 @@ def bulk_insert(index, data, ids) -> int:
     # whose adjacency changed (back-edge targets)
     from ..graph.host import GraphElement
 
+    if not isinstance(arr, np.ndarray):
+        arr = np.asarray(arr)  # host graph keeps host values
     nb0_new, nb0d_new, up_new, upd_new = builder.host_adjacency()
     upper_slot = np.asarray(builder.upper_slot)
     old_nb0 = np.full((n0, builder.lm0), -1, dtype=np.int32)

@@ -376,10 +376,15 @@ class HnswIndex:
         skips per-element host graph materialization; insert/delete/
         vacuum raise until a rebuild (for large serving corpora).
         """
+        device_data = _is_device_data(data)
         kind = (
             "bit"
             if metric in BIT_METRICS
-            else ("sparse" if _is_sparse_data(data) else "dense")
+            else (
+                "sparse"
+                if not device_data and _is_sparse_data(data)
+                else "dense"
+            )
         )
         if kind == "sparse":
             dims = {v.dim if isinstance(v, SparseVec) else None for v in data}
@@ -387,14 +392,29 @@ class HnswIndex:
             if len(dims) > 1:
                 raise ValueError("different sparsevec dimensions in build input")
             dim = dims.pop() if dims else max(int(np.max(v[0])) + 1 for v in data)
+        elif device_data:
+            # device-resident corpus (jax.Array): never np.asarray it —
+            # the whole point is skipping the host<->device transfer
+            if kind != "dense":
+                raise ValueError(
+                    "device-resident build input is supported for dense "
+                    "metrics only"
+                )
+            dim = int(data.shape[1])
         else:
             arr = np.asarray(data)
             dim = arr.shape[1]
         idx = cls(dim, metric=metric, kind=kind, params=params, dtype=dtype, seed=seed)
 
-        n = len(data)
+        n = int(data.shape[0]) if device_data else len(data)
         if ids is None:
             ids = range(n)
+        if device_data and method not in ("device", "auto"):
+            raise ValueError(
+                "device-resident build input requires method='device'"
+            )
+        if device_data:
+            method = "device"
         if method == "auto":
             if kind == "dense" and n >= 20000:
                 method = "device"
@@ -505,6 +525,16 @@ class HnswIndex:
             f"m={self.params.m}, ef_construction={self.params.ef_construction}, "
             f"elements={len(self.elements)}, tuples={self.num_tuples})"
         )
+
+
+def _is_device_data(data) -> bool:
+    """True for jax.Array build input (device-resident corpus path) —
+    detected without importing jax, so host-only index use stays
+    jax-free."""
+    if isinstance(data, (np.ndarray, list, tuple)):
+        return False
+    mod = type(data).__module__
+    return mod.startswith("jax") or mod.startswith("jaxlib")
 
 
 def _is_sparse_data(data) -> bool:

@@ -30,8 +30,25 @@ class DenseStore:
         self.dim = int(dim)
         self.metric = metric
         self.dtype = np.dtype(dtype)
-        self.rows = np.zeros((0, dim), dtype=self.dtype)
+        self._rows = np.zeros((0, dim), dtype=self.dtype)
+        self._device_rows = None  # pending device-resident backing
         self.count = 0
+
+    @property
+    def rows(self) -> np.ndarray:
+        """Host row matrix. If the store was bulk-loaded from a
+        device-resident array (``bulk_load_device``), the one-time
+        download happens here, on first host access — serving reads go
+        through the device graph and never pay it."""
+        if self._device_rows is not None:
+            dev, self._device_rows = self._device_rows, None
+            self._rows = np.asarray(dev).astype(self.dtype, copy=False)
+        return self._rows
+
+    @rows.setter
+    def rows(self, value: np.ndarray) -> None:
+        self._device_rows = None
+        self._rows = value
 
     def _ensure(self, n: int) -> None:
         if n > self.rows.shape[0]:
@@ -55,6 +72,22 @@ class DenseStore:
         assert self.count == 0
         self.rows = np.ascontiguousarray(rows, dtype=self.dtype)
         self.count = len(rows)
+
+    def bulk_load_device(self, dev_rows) -> None:
+        """Adopt a device-resident [N, dim] array without downloading it
+        (empty store only). The host copy materializes lazily on first
+        ``rows`` access (save/host-scan paths); device serving never
+        downloads."""
+        assert self.count == 0
+        self._device_rows = dev_rows
+        self.count = int(dev_rows.shape[0])
+
+    def reset_device(self, dev_rows) -> None:
+        """Replace the whole backing with a device-resident [N, dim]
+        array (device-input bulk insert into a device-backed store)."""
+        self._rows = np.zeros((0, self.dim), dtype=self.dtype)
+        self._device_rows = dev_rows
+        self.count = int(dev_rows.shape[0])
 
     def zero(self, idx: int) -> None:
         self.rows[idx] = 0
