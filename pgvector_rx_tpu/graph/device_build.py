@@ -894,11 +894,17 @@ class DeviceBuilder:
             kk = min(self.efc, width)
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
             col_valid = (pos < count) & alive[None, :width]
-            # approx_min_k's positional block reduction needs the valid
-            # entries spread across at least ~half the row, which the
-            # doubling buckets guarantee (count >= width/2); exact
-            # top_k over wide rows is 5-10x slower, so approx matters
-            use_approx = width >= _APPROX_TOPK_MIN
+            # single-program ramp: exact top_k at every commit count
+            # (measured +28ms over the bare sweep at [1024, 131072] —
+            # cheap, and immune to the low-density candidate starvation
+            # that ruled approx_min_k out for contiguous-prefix
+            # validity). The bucketed A/B path keeps the old policy:
+            # approx_min_k above _APPROX_TOPK_MIN, where the doubling
+            # invariant count >= width/2 keeps its block reduction fed.
+            use_approx = (
+                os.environ.get("PGV_BUILD_RAMP") == "buckets"
+                and width >= _APPROX_TOPK_MIN
+            )
 
             def score_chunk(q_chunk):
                 scores = self._score_all(
@@ -1374,7 +1380,7 @@ class DeviceBuilder:
         old_ids, old_d = _split_nbrc(nb0c[s_tgt0], lm)
         head, s_tgt, nids, nd = self._resolve_backedges(
             data, old_ids, old_d, tgt, dst, src, lm,
-            K=min(lm, int(os.environ.get("PGV_BUILD_BE_K", 16)))
+            K=min(lm, int(os.environ.get("PGV_BUILD_BE_K", 8)))
         )
         scatter_tgt = jnp.where(head, s_tgt, dump)
         return nb0c.at[scatter_tgt].set(_pack_nbrc(nids, nd))
@@ -1423,7 +1429,7 @@ class DeviceBuilder:
         u_src = jnp.where(sel_ok, flat_src[order], -1)
         u_layer = jnp.where(sel_ok, flat_layer[order], self.lmax + 7)
         lm = self.m
-        K = min(lm, int(os.environ.get("PGV_BUILD_BE_K", 16)))
+        K = min(lm, int(os.environ.get("PGV_BUILD_BE_K", 8)))
         dump_slot = self.upper_dump
         s_layer, s_tgt, s_d, s_src = jax.lax.sort(
             [u_layer, u_tgt, u_dst, u_src], num_keys=3
@@ -1655,22 +1661,29 @@ class DeviceBuilder:
             self._inflight.clear()
 
     def _width_for(self, start: int) -> int:
-        """Static scored-prefix bucket for a batch starting at `start`.
+        """Static scored-prefix width for a batch starting at `start`.
 
-        Doubling width buckets below the descent threshold (the
-        doubling invariant count >= width/2 keeps approx_min_k's
-        candidate density sound; exact top_k over wide rows costs
-        5-10x more device time EVERY build, while the per-bucket
-        compiles hit the persistent cache after the first run), and
-        ONE width-independent descent program (sentinel 0) above it.
+        ONE exact-ramp program (width = min(descent floor, capacity),
+        exact top_k selection at any commit count) plus ONE
+        width-independent descent program (sentinel 0) above the floor.
+        Measured (phase probe, TPU v5e 2026-08-17): the per-batch sweep
+        is latency-bound (~38ms at [1024, 131072] incl. top_k — the
+        extra FLOPs of always scoring the full floor width are free),
+        while every DISTINCT program costs 30-45s of one-time
+        load/compile through the harness backend per process — the old
+        doubling-width bucket ramp (6 programs) spent most of its wall
+        clock there. PGV_BUILD_RAMP=buckets restores the old schedule
+        for A/B.
         """
         cap1 = self.cap + 1
         if cap1 > self.descent_min and start + 1 > self.descent_min:
             return 0
-        width = 4096
-        while width < min(start + 1, cap1):
-            width *= 2
-        return min(width, cap1)
+        if os.environ.get("PGV_BUILD_RAMP") == "buckets":
+            width = 4096
+            while width < min(start + 1, cap1):
+                width *= 2
+            return min(width, cap1)
+        return min(self.descent_min, cap1)
 
     def run_all(self, schedule) -> None:
         """Run the whole batch schedule, folding consecutive same-bucket
@@ -1789,6 +1802,16 @@ def batch_schedule(n: int, batch_max: int):
     return out
 
 
+def _tids_array(ids) -> np.ndarray:
+    """Id sequence -> int64 array without materializing Python ints
+    (range -> arange; at 1M rows the list round trip costs ~1.5s of
+    single-core host time)."""
+    if isinstance(ids, range):
+        return np.arange(ids.start, ids.stop, ids.step, dtype=np.int64)
+    return np.asarray(list(ids) if not hasattr(ids, "__len__") else ids,
+                      dtype=np.int64)
+
+
 def _prepare_dense_bulk(index, data, ids):
     """Vectorized dense prepare: shape check once, vectorized cosine
     normalize + zero-norm row skip (build.rs:426-438 semantics) —
@@ -1797,7 +1820,7 @@ def _prepare_dense_bulk(index, data, ids):
     arr = np.asarray(data, dtype=np.float32)
     if arr.ndim != 2 or arr.shape[1] != index.dim:
         raise ValueError(f"expected {index.dim} dimensions")
-    tids = np.asarray(list(ids), dtype=np.int64)
+    tids = _tids_array(ids)
     if index.metric == "cosine":
         norms = np.sqrt(
             np.sum(arr.astype(np.float64) ** 2, axis=1, keepdims=True)
@@ -1807,7 +1830,7 @@ def _prepare_dense_bulk(index, data, ids):
         tids = tids[keep]
     if not np.isfinite(arr).all():
         raise ValueError("NaN or infinity not allowed in vector")
-    return arr, [int(t) for t in tids]
+    return arr, tids
 
 
 def _prepare_dense_device(index, data, ids):
@@ -1822,7 +1845,7 @@ def _prepare_dense_device(index, data, ids):
     """
     if data.ndim != 2 or data.shape[1] != index.dim:
         raise ValueError(f"expected {index.dim} dimensions")
-    tids = np.asarray(list(ids), dtype=np.int64)
+    tids = _tids_array(ids)
     v = data
     if v.dtype != jnp.float32:
         v = jax.jit(lambda x: x.astype(jnp.float32))(v)
@@ -1848,7 +1871,7 @@ def _prepare_dense_device(index, data, ids):
         # round through the store dtype (halfvec) — see the host path
         hdt = jnp.float16 if index.dtype == np.float16 else index.dtype
         v = jax.jit(lambda x: x.astype(hdt).astype(jnp.float32))(v)
-    return v, [int(t) for t in tids]
+    return v, tids
 
 
 def bulk_build(index, data, ids, host_graph: bool = True) -> None:
@@ -1928,6 +1951,8 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     )
 
     _phase("builder-init")
+    if isinstance(kept_tids, np.ndarray):
+        kept_tids = kept_tids.tolist()
     heap_tids = [[t] for t in kept_tids]
     builder.seed_first(0)
     builder.run_all(batch_schedule(n, builder.batch_max))
@@ -2169,6 +2194,8 @@ def bulk_insert(index, data, ids) -> int:
 
     # --- fold duplicate TIDs (old or new targets), in insertion order
     absorb = np.asarray(builder.arrays.absorb)[: n0 + n_new]
+    if isinstance(kept_tids, np.ndarray):
+        kept_tids = kept_tids.tolist()
     new_tids: list[list[int]] = [[t] for t in kept_tids]
 
     def tids_of(e):
@@ -2261,6 +2288,8 @@ def bulk_insert(index, data, ids) -> int:
     index.stats["inserts"] += n_new
     index._invalidate_device()
     if index._log is not None:
+        if not isinstance(arr, np.ndarray):
+            arr = np.asarray(arr)  # append log stores host rows
         for row, tid in zip(arr, kept_tids):
             index._log.record_insert(row, tid)
     return sum(1 for t in new_tids if t)

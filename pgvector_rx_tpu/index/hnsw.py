@@ -336,7 +336,7 @@ class HnswIndex:
         if tids is None:
             base = self.num_tuples
             tids = range(base, base + len(values))
-        return device_build.bulk_insert(self, values, list(tids))
+        return device_build.bulk_insert(self, values, tids)
 
     def add_batch(self, values, tids: Optional[Sequence[int]] = None) -> None:
         """Sequential host bulk-load (ambuild's heap-scan loop,
@@ -427,7 +427,7 @@ class HnswIndex:
         if method == "device":
             from ..graph import device as device_mod
 
-            device_mod.bulk_build(idx, data, list(ids), host_graph=host_graph)
+            device_mod.bulk_build(idx, data, ids, host_graph=host_graph)
         elif method == "native":
             from .. import native
 
