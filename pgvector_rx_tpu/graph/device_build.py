@@ -132,12 +132,54 @@ def _ingest_device(vec, rows: int):
     return buf, buf.astype(jnp.bfloat16), jnp.sum(buf * buf, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("upper_pad",))
-def _ingest_upper_device(vec_pad, ups, perm, upper_pad: int):
-    """Scatter the level>=1 rows of a device-resident corpus into their
-    shuffled upper slots (device analog of the host up_vecs fill)."""
-    buf = jnp.zeros((upper_pad, vec_pad.shape[1]), jnp.float32)
-    return buf.at[perm].set(vec_pad[ups])
+@functools.partial(
+    jax.jit, static_argnames=("cap_pad", "upper_pad", "lmax")
+)
+def _ingest_tables_device(
+    vec_pad, levels_i8, perm, cap_pad: int, upper_pad: int, lmax: int
+):
+    """Derive every builder table from a device-resident corpus in ONE
+    program: padded levels, shuffled upper-slot map, upper id/mask
+    tables, and the upper vector matrix + x2. Only the [n] int8 levels
+    and the [n_upper] permutation are uploaded (~1.3MB at 1M rows vs
+    ~9MB for the host-built tables — init transfers were a measured
+    ~4s of the device-input build)."""
+    n = levels_i8.shape[0]
+    levels = jnp.full((cap_pad,), -1, jnp.int32)
+    levels = jax.lax.dynamic_update_slice(
+        levels, levels_i8.astype(jnp.int32), (0,)
+    )
+    ids = jnp.arange(cap_pad, dtype=jnp.int32)
+    # stable invalid-last sort: the first n_upper entries are the
+    # level>=1 ids in id order (= the host path's np.nonzero order)
+    key = jnp.where(levels >= 1, 0, 1).astype(jnp.int32)
+    _, ups_sorted = jax.lax.sort([key, ids], num_keys=1)
+    U = perm.shape[0]
+    ups = ups_sorted[:U] if U else jnp.zeros((0,), jnp.int32)
+    upper_slot = jnp.full((cap_pad,), -1, jnp.int32).at[ups].set(perm)
+    up_ids = jnp.full((upper_pad,), cap_pad - 1, jnp.int32).at[perm].set(
+        ups
+    )
+    up_levels = jnp.full((upper_pad,), -1, jnp.int32).at[perm].set(
+        levels[ups]
+    )
+    up_masks = (
+        up_levels[None, :]
+        >= jnp.arange(1, lmax + 1, dtype=jnp.int32)[:, None]
+    )
+    up_vecs = (
+        jnp.zeros((upper_pad, vec_pad.shape[1]), jnp.float32)
+        .at[perm]
+        .set(vec_pad[ups])
+    )
+    return (
+        levels,
+        upper_slot,
+        up_ids,
+        up_masks,
+        up_vecs,
+        jnp.sum(up_vecs * up_vecs, axis=1),
+    )
 
 
 def _pack_bf16_pairs(x: jax.Array) -> jax.Array:
@@ -546,10 +588,6 @@ class DeviceBuilder:
             self.vectors = jnp.asarray(
                 np.concatenate([vectors.astype(np.float32), pad_rows])
             )
-        self.levels = jnp.asarray(
-            np.concatenate([levels, np.full(cap_pad - n, -1, np.int32)])
-        )
-        upper_slot = np.full(cap_pad, -1, dtype=np.int32)
         ups = np.nonzero(levels >= 1)[0]
         self.n_upper = len(ups)
         upper_pad = _next_pow2(self.n_upper + 1)
@@ -564,26 +602,41 @@ class DeviceBuilder:
         perm = np.random.default_rng(0xA953).permutation(
             max(self.n_upper, 1)
         )[: self.n_upper].astype(np.int32)
-        upper_slot[ups] = perm
-        self.upper_slot = jnp.asarray(upper_slot)
         if device_input:
-            up_vecs_dev = _ingest_upper_device(
+            (
+                self.levels,
+                self.upper_slot,
+                up_ids_j,
+                up_masks_j,
+                up_vecs_dev,
+                up_x2_dev,
+            ) = _ingest_tables_device(
                 self.vectors,
-                jnp.asarray(ups.astype(np.int32)),
+                jnp.asarray(levels.astype(np.int8)),
                 jnp.asarray(perm),
+                cap_pad=cap_pad,
                 upper_pad=upper_pad,
+                lmax=self.lmax,
             )
         else:
+            self.levels = jnp.asarray(
+                np.concatenate(
+                    [levels, np.full(cap_pad - n, -1, np.int32)]
+                )
+            )
+            upper_slot = np.full(cap_pad, -1, dtype=np.int32)
+            upper_slot[ups] = perm
+            self.upper_slot = jnp.asarray(upper_slot)
             up_vecs = np.zeros((upper_pad, self.dim), np.float32)
             up_vecs[perm] = vectors.astype(np.float32)[ups]
-        up_ids = np.full(upper_pad, self.cap, dtype=np.int32)
-        up_ids[perm] = ups
-        up_levels = np.full(upper_pad, -1, dtype=np.int32)
-        up_levels[perm] = levels[ups]
-        up_masks = (
-            up_levels[None, :]
-            >= np.arange(1, self.lmax + 1, dtype=np.int32)[:, None]
-        )
+            up_ids = np.full(upper_pad, self.cap, dtype=np.int32)
+            up_ids[perm] = ups
+            up_levels = np.full(upper_pad, -1, dtype=np.int32)
+            up_levels[perm] = levels[ups]
+            up_masks = (
+                up_levels[None, :]
+                >= np.arange(1, self.lmax + 1, dtype=np.int32)[:, None]
+            )
 
         # pruning distances stored bf16 inside the combined arrays:
         # ranking-only state, and the f32 form is 2GB of HBM at 10M rows
@@ -626,9 +679,11 @@ class DeviceBuilder:
             levels=self.levels,
             upper_slot=self.upper_slot,
             upper_vectors=up_vecs_j,
-            upper_x2=_x2(up_vecs_j),
-            upper_ids=jnp.asarray(up_ids),
-            upper_level_masks=jnp.asarray(up_masks),
+            upper_x2=up_x2_dev if device_input else _x2(up_vecs_j),
+            upper_ids=up_ids_j if device_input else jnp.asarray(up_ids),
+            upper_level_masks=(
+                up_masks_j if device_input else jnp.asarray(up_masks)
+            ),
         )
         self._search_jit = jax.jit(
             self._score_select_step, static_argnames=("width",)
@@ -1508,22 +1563,43 @@ class DeviceBuilder:
 
         starts/sizes [_BATCHES_PER_DISPATCH] int32 (size 0 = no-op pad);
         nb is a traced scalar trip count, so one compiled program per
-        (width, width_u) bucket serves any number of batches. This is
-        the tunnel-model optimization that makes the build fast end to
-        end: per-program dispatch costs ~0.5s on the dev harness no
-        matter how small the program, so the entire build issues only
-        O(log N) dispatches instead of O(N / batch).
+        capacity bucket serves any number of batches. Fewer, larger
+        programs are the core tunnel-model optimization: dispatch is
+        cheap (~40ms) but every DISTINCT program pays a 30-45s one-time
+        load per process, so the whole build wants to be ONE program
+        issuing O(N / (batch * _BATCHES_PER_DISPATCH)) dispatches.
+
+        ``width == -1``: the merged-regime program — a lax.cond per
+        batch picks the exact ramp (full descent-floor width) or the
+        beam descent by the batch's start position, so ramp + descent
+        share one compiled program and one load.
         """
 
-        def body(i, arr):
-            s = starts[i]
-            z = sizes[i]
+        def step(arr, s, z, w):
             sel_d, sel_ids, assign = self._score_select_step(
-                data, arr, s, z, width
+                data, arr, s, z, w
             )
             return self._commit_all_step(
                 data, arr, s, z, sel_d, sel_ids, assign
             )
+
+        if width == -1:
+            rampw = min(self.descent_min, self.cap + 1)
+
+            def body(i, arr):
+                s = starts[i]
+                z = sizes[i]
+                return jax.lax.cond(
+                    s + 1 > self.descent_min,
+                    lambda a: step(a, s, z, 0),
+                    lambda a: step(a, s, z, rampw),
+                    arr,
+                )
+
+        else:
+
+            def body(i, arr):
+                return step(arr, starts[i], sizes[i], width)
 
         return jax.lax.fori_loop(0, nb, body, arrays)
 
@@ -1676,14 +1752,22 @@ class DeviceBuilder:
         for A/B.
         """
         cap1 = self.cap + 1
-        if cap1 > self.descent_min and start + 1 > self.descent_min:
-            return 0
         if os.environ.get("PGV_BUILD_RAMP") == "buckets":
+            if cap1 > self.descent_min and start + 1 > self.descent_min:
+                return 0
             width = 4096
             while width < min(start + 1, cap1):
                 width *= 2
             return min(width, cap1)
-        return min(self.descent_min, cap1)
+        if cap1 <= self.descent_min:
+            return cap1  # pure ramp — no descent branch to compile
+        if self.ivf:
+            # the IVF member table initializes at the regime boundary
+            # (run_all hook) — keep ramp/descent as separate programs
+            return 0 if start + 1 > self.descent_min else min(
+                self.descent_min, cap1
+            )
+        return -1  # merged-regime program (cond per batch)
 
     def run_all(self, schedule) -> None:
         """Run the whole batch schedule, folding consecutive same-bucket
@@ -1739,6 +1823,12 @@ class DeviceBuilder:
         (the instrumented/debug path; run_all is the fast path)."""
         debug = os.environ.get("PGV_BUILD_DEBUG")
         width = self._width_for(start)
+        if width == -1:  # merged-regime sentinel: resolve per batch
+            width = (
+                0
+                if start + 1 > self.descent_min
+                else min(self.descent_min, self.cap + 1)
+            )
         self._ensure_rows(start + size)
         if width == 0:
             self._ensure_members(start)
@@ -1951,6 +2041,11 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
     )
 
     _phase("builder-init")
+    kept_arr = (
+        kept_tids
+        if isinstance(kept_tids, np.ndarray)
+        else np.asarray(kept_tids, dtype=np.int64)
+    )
     if isinstance(kept_tids, np.ndarray):
         kept_tids = kept_tids.tolist()
     heap_tids = [[t] for t in kept_tids]
@@ -1982,7 +2077,9 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         entry = int(np.asarray(builder.arrays.entry))
         index.entry = entry if entry >= 0 else None
         index.serving_only = True
-        index._device = _device_graph_from_builder(index, builder, heap_tids)
+        index._device = _device_graph_from_builder(
+            index, builder, heap_tids, first_tids=kept_arr
+        )
         _phase("finalize-serving")
         return
 
@@ -2295,18 +2392,59 @@ def bulk_insert(index, data, ids) -> int:
     return sum(1 for t in new_tids if t)
 
 
-def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids):
+@functools.partial(jax.jit, static_argnames=("cap1", "seq_base"))
+def _emit_tables_device(absorb, counts, tids_i32, cap1: int,
+                        seq_base: int | None):
+    """emit_tid [cap+1] derived on device: an element emits its first
+    TID unless it was absorbed into a duplicate target or never got a
+    TID. ``seq_base`` (sequential range ids — the common case) builds
+    the TID column with iota, ZERO upload; otherwise ``tids_i32`` is
+    the uploaded [n] first-TID column."""
+    if seq_base is not None:
+        col = jnp.arange(cap1, dtype=jnp.int32) + seq_base
+    else:
+        col = jnp.full((cap1,), -1, jnp.int32)
+        col = jax.lax.dynamic_update_slice(col, tids_i32, (0,))
+    return jnp.where((absorb < 0) & (counts > 0), col, -1)
+
+
+def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
+                               first_tids=None):
     """Build a DeviceGraph directly from the builder's device arrays
     (no per-element host objects; see bulk_build(host_graph=False))."""
     from .device import DeviceGraph
 
     n = builder.cap
-    emit_tid = np.full(n + 1, -1, dtype=np.int32)
-    tid_count = np.zeros(n + 1, dtype=np.int32)
-    for i, tids in enumerate(heap_tids):
-        tid_count[i] = len(tids)
-        if tids:
-            emit_tid[i] = tids[0]
+    if first_tids is not None:
+        # device fast path: TID counts already live in the builder
+        # arrays; emit_tid derives from the first-TID column — an iota
+        # when the TIDs are sequential (the default ids=range(n) case,
+        # zero upload), else one [n] int32 upload
+        ft = np.asarray(first_tids, dtype=np.int64)
+        seq = None
+        if len(ft) and np.array_equal(
+            ft, np.arange(ft[0], ft[0] + len(ft), dtype=np.int64)
+        ):
+            seq = int(ft[0])
+        emit_tid = _emit_tables_device(
+            builder.arrays.absorb,
+            builder.arrays.tid_counts,
+            (
+                jnp.zeros((1,), jnp.int32)
+                if seq is not None
+                else jnp.asarray(ft.astype(np.int32))
+            ),
+            cap1=n + 1,
+            seq_base=seq,
+        )
+        tid_count = builder.arrays.tid_counts
+    else:
+        emit_tid = np.full(n + 1, -1, dtype=np.int32)
+        tid_count = np.zeros(n + 1, dtype=np.int32)
+        for i, tids in enumerate(heap_tids):
+            tid_count[i] = len(tids)
+            if tids:
+                emit_tid[i] = tids[0]
     # serving gathers want contiguous id-only rows: slice the id prefix
     # out of the packed build arrays once (one program per build)
     nb0_ids, up_ids = _ids_views_jit(
