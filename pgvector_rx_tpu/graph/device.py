@@ -661,7 +661,8 @@ def _exact_scores(g: DeviceGraph, queries, vals, x2, approx: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
-def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
+def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
+                        row_mask=None):
     """Exact (or turbo-approximate) top-k over the index's live rows.
 
     TPU-first serving path: a [B, D] x [D, N] MXU matmul + top-k is
@@ -687,6 +688,11 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
     cap1 = g.values.shape[0]
     B = queries.shape[0]
     live = g.traversable & (g.tid_count > 0)
+    if row_mask is not None:
+        # attribute filtering (043/044 analog): pre-filter INSIDE the
+        # sweep — recall over the filtered subset stays 1.0 at any
+        # selectivity, where the reference needs iterative re-entry
+        live = live & row_mask
     x2 = g.x2 if g.x2 is not None else jnp.sum(g.values * g.values, axis=1)
     vals = (
         (g.values_bf16 if g.values_bf16 is not None else g.values)
@@ -744,7 +750,8 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
-def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False):
+def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False,
+                       row_mask=None):
     """Exact top-k over packed-bit rows (hamming / jaccard).
 
     Two formulations, chosen statically by query-batch size, both
@@ -785,7 +792,10 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False):
         CH = 8192
     pad = (-cap1) % CH
     words = jnp.pad(g.words, ((0, pad), (0, 0)))
-    live = jnp.pad(g.traversable & (g.tid_count > 0), (0, pad))
+    live0 = g.traversable & (g.tid_count > 0)
+    if row_mask is not None:
+        live0 = live0 & row_mask
+    live = jnp.pad(live0, (0, pad))
     nc = words.shape[0] // CH
     q_pop = jnp.sum(jax.lax.population_count(queries), axis=-1).astype(
         jnp.float32
@@ -852,7 +862,7 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("k", "dim"))
 def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
-                         dim: int = 0):
+                         dim: int = 0, row_mask=None):
     """Exact top-k over padded-CSR sparse rows.
 
     With a known vocabulary size (`dim` > 0, up to ~1M), uses the
@@ -878,6 +888,8 @@ def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
             g.metric, g.sp_indices, g.sp_values, q_indices, q_values
         )  # [B, cap+1]
     live = g.traversable & (g.tid_count > 0)
+    if row_mask is not None:
+        live = live & row_mask
     scores = jnp.where(live[None, :], scores, jnp.inf)
     neg_d, ids = jax.lax.top_k(-scores, k)
     d = -neg_d
@@ -904,6 +916,7 @@ def _serve_sweep(
     max_steps: int = 192,
     expand: int = 4,
     upper=None,
+    row_mask=None,
 ):
     """Top-k for a whole staged query matrix in ONE device program.
 
@@ -926,25 +939,44 @@ def _serve_sweep(
                 d, ids, _ = _search_batch(
                     g, qc, ef, entry_level, max_steps, expand
                 )
+            if row_mask is not None:
+                # post-filter the ef-wide beam results (graph traversal
+                # itself stays unfiltered, like the reference's executor
+                # filter); recall under selective filters needs ef >>
+                # k/selectivity — the exact/approx engines pre-filter
+                keep = row_mask[jnp.maximum(ids, 0)] & (ids >= 0)
+                d = jnp.where(keep, d, jnp.inf)
+                d, ids = jax.lax.sort([d, ids], num_keys=1)
+                ids = jnp.where(jnp.isfinite(d), ids, -1)
             return d[:, :k], ids[:, :k]
-        return _exact_search_batch(g, qc, k, approx=engine == "approx")
+        return _exact_search_batch(
+            g, qc, k, approx=engine == "approx", row_mask=row_mask
+        )
 
     d, ids = jax.lax.map(one, queries.reshape(-1, chunk, D))
     return d.reshape(B, -1), ids.reshape(B, -1)
 
 
 def serve_topk(index, queries_dev, k: int, engine: str = "approx",
-               chunk: int = 1024, ef: int = 40):
+               chunk: int = 1024, ef: int = 40, filter_mask=None):
     """Bulk top-k over device-staged dense queries: one dispatch, one
     download. Returns (dists [B,k] np, element ids [B,k] np).
 
     This is the serving fast path the benchmark measures; `search()`
     remains the semantically-complete per-call API (duplicate TID
     expansion, vacuum filtering, host conversion per call).
+
+    ``filter_mask``: optional bool array over element ids (True =
+    candidate allowed) — the attribute-filtering analog of the
+    reference's executor filters + iterative scans (tests/t/043,044).
+    The exact/approx engines apply it INSIDE the sweep (recall 1.0 over
+    the filtered subset at any selectivity); the beam engine
+    post-filters its ef-wide result like the reference's executor.
     """
     if engine not in ("exact", "approx", "beam"):
         raise ValueError(f"unknown engine {engine!r}")
     g = index.device_graph()
+    row_mask = _stage_filter_mask(g, filter_mask)
     B = queries_dev.shape[0]
     pad = (-B) % chunk
     if pad:
@@ -959,8 +991,34 @@ def serve_topk(index, queries_dev, k: int, engine: str = "approx",
         max_steps=4 * ef_eff + 32,
         expand=int(os.environ.get("PGV_BEAM_EXPAND", 4)),
         upper=_coarse_upper(g) if engine == "beam" else None,
+        row_mask=row_mask,
     )
     return np.asarray(d)[:B], np.asarray(ids)[:B]
+
+
+def _stage_filter_mask(g: DeviceGraph, filter_mask):
+    """Stage a user element-id filter mask as a [cap+1] device bool
+    array (sentinel row False). Accepts None, numpy/jax bool arrays of
+    length <= cap (unlisted tail ids are excluded)."""
+    if filter_mask is None:
+        return None
+    cap1 = g.traversable.shape[0]
+    if isinstance(filter_mask, jax.Array):
+        m = filter_mask.astype(jnp.bool_)
+        n = m.shape[0]
+        if n > cap1 - 1:
+            raise ValueError(
+                f"filter_mask length {n} exceeds index capacity {cap1 - 1}"
+            )
+        return jnp.pad(m, (0, cap1 - n))
+    m = np.asarray(filter_mask, dtype=bool)
+    if m.shape[0] > cap1 - 1:
+        raise ValueError(
+            f"filter_mask length {m.shape[0]} exceeds index capacity {cap1 - 1}"
+        )
+    out = np.zeros(cap1, dtype=bool)
+    out[: m.shape[0]] = m
+    return jnp.asarray(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1024,7 +1082,8 @@ def prepare_queries(index, qlist):
     return jnp.asarray(qi), jnp.asarray(qv)
 
 
-def search(index, qlist, k: int, params, engine: str = "auto"):
+def search(index, qlist, k: int, params, engine: str = "auto",
+           filter_mask=None):
     """Batched device k-NN -> (order-dists [B,k] f64, heap ids [B,k]).
 
     engine: "beam" walks the HNSW graph (batched beam search), "exact"
@@ -1032,8 +1091,13 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
     padded-CSR for sparse), "approx" the bf16 + approx_min_k turbo
     sweep (dense), "auto" picks exact up to EXACT_ENGINE_MAX_ROWS and
     beam otherwise.
+
+    ``filter_mask``: optional bool array over element ids — attribute
+    filtering (tests/t/043,044 analog). Exact/approx engines pre-filter
+    inside the sweep; the beam engine post-filters emissions.
     """
     g = index.device_graph()
+    row_mask = _stage_filter_mask(g, filter_mask)
     B = len(qlist)
     if g.entry < 0 or B == 0:
         return (
@@ -1055,15 +1119,18 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
     if engine in ("exact", "approx"):
         if index.kind == "dense":
             beam_d, beam_ids = _exact_search_batch(
-                g, queries, max(k, 1), approx=engine == "approx"
+                g, queries, max(k, 1), approx=engine == "approx",
+                row_mask=row_mask,
             )
         elif index.kind == "bit":
             beam_d, beam_ids = _exact_search_bits(
-                g, queries, max(k, 1), approx=engine == "approx"
+                g, queries, max(k, 1), approx=engine == "approx",
+                row_mask=row_mask,
             )
         else:
             beam_d, beam_ids = _exact_search_sparse(
-                g, queries[0], queries[1], max(k, 1), dim=index.dim
+                g, queries[0], queries[1], max(k, 1), dim=index.dim,
+                row_mask=row_mask,
             )
     elif index.kind == "sparse":
         qtuple = queries
@@ -1100,6 +1167,17 @@ def search(index, qlist, k: int, params, engine: str = "auto"):
             )
     beam_d = np.asarray(beam_d, dtype=np.float64)
     beam_ids = np.asarray(beam_ids)
+
+    if row_mask is not None and engine not in ("exact", "approx"):
+        # beam emissions post-filtered by the element mask (the
+        # executor-filter analog); exact engines already pre-filtered
+        host_mask = np.asarray(row_mask)
+        keep = (beam_ids >= 0) & host_mask[np.maximum(beam_ids, 0)]
+        beam_d = np.where(keep, beam_d, np.inf)
+        beam_ids = np.where(keep, beam_ids, -1)
+        order = np.argsort(beam_d, axis=1, kind="stable")
+        beam_d = np.take_along_axis(beam_d, order, axis=1)
+        beam_ids = np.take_along_axis(beam_ids, order, axis=1)
 
     tid_count = np.asarray(g.tid_count)
     emit_tid = np.asarray(g.emit_tid)

@@ -444,15 +444,27 @@ class HnswIndex:
         k: int,
         params: SearchParams | None = None,
         method: str = "auto",
+        filter_mask=None,
     ):
         """k-NN search. Returns (distances [B,k], heap ids [B,k]) with
         operator-domain distances (l2 = true euclidean); missing results
-        padded with inf / -1."""
+        padded with inf / -1.
+
+        ``filter_mask``: optional bool array over element ids — restrict
+        results to masked-True elements (the attribute-filtering analog
+        of the reference's executor filters, tests/t/043,044). Device
+        exact/approx engines pre-filter inside the sweep (recall 1.0
+        over the subset at any selectivity); host/beam paths filter at
+        emission under the iterative-scan budget."""
         from . import scan
 
-        return scan.search(self, queries, k, params or SearchParams(), method=method)
+        return scan.search(
+            self, queries, k, params or SearchParams(), method=method,
+            filter_mask=filter_mask,
+        )
 
-    def scan(self, query, params: SearchParams | None = None, method: str = "auto"):
+    def scan(self, query, params: SearchParams | None = None, method: str = "auto",
+             filter_mask=None):
         """Begin a resumable scan (ambeginscan/amgettuple analog).
 
         method="host": the reference-semantics graph scan (HnswScan).
@@ -470,8 +482,14 @@ class HnswIndex:
         if use_device:
             if self.kind != "dense":
                 raise ValueError("device scan supports dense indexes only")
+            if filter_mask is not None:
+                raise ValueError(
+                    "DeviceScan does not take filter_mask; filter its "
+                    "exactly-ordered stream caller-side, or use "
+                    "search(filter_mask=...)"
+                )
             return DeviceScan(self, query, params)
-        return HnswScan(self, query, params)
+        return HnswScan(self, query, params, filter_mask=filter_mask)
 
     # -- delete / vacuum (delegates to vacuum.py) ----------------------------
 

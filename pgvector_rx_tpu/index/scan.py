@@ -104,9 +104,16 @@ class HnswScan:
     (SURVEY.md §5 "Checkpoint / resume").
     """
 
-    def __init__(self, index, query, params: SearchParams):
+    def __init__(self, index, query, params: SearchParams, filter_mask=None):
         self.index = index
         self.params = params
+        # optional element-id filter (attribute-filtering analog,
+        # tests/t/043,044): masked elements still count toward
+        # max_scan_tuples — the reference's AM emits them and the
+        # executor discards them, so the tuple budget is AM-side
+        self.filter_mask = (
+            None if filter_mask is None else np.asarray(filter_mask, bool)
+        )
         self.query = index.prepare_value(query)
         if self.query is None and index.kind in ("dense", "sparse"):
             # cosine zero-norm query: reference normalize leaves zeros;
@@ -209,6 +216,10 @@ class HnswScan:
             if not tids:
                 continue
             self.tuples += 1
+            if self.filter_mask is not None and not (
+                idx < len(self.filter_mask) and self.filter_mask[idx]
+            ):
+                continue  # executor-filtered tuple (budget already spent)
             # copy (reversed so .pop() yields slot order like the
             # reference's pop-from-end of the loaded array)
             self._current = (dist, list(reversed(tids)))
@@ -295,7 +306,8 @@ class DeviceScan:
         return out
 
 
-def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
+def search(index, queries, k: int, params: SearchParams, method: str = "auto",
+           filter_mask=None):
     """Batch k-NN. Returns (distances [B,k] operator-domain, ids [B,k]).
 
     method="host" walks the reference scan path per query;
@@ -303,6 +315,11 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
     method="exact" uses the MXU exact sweep (dense only); "auto" picks
     the device for dense batches >= 32 queries, letting the device layer
     choose exact vs beam by corpus size (graph/device.py).
+
+    ``filter_mask``: optional bool array over element ids (attribute
+    filtering, tests/t/043,044 analog). Device exact/approx engines
+    pre-filter inside the sweep; the host path filters at emission under
+    the iterative-scan budget like the reference's executor.
     """
     import jax
 
@@ -329,7 +346,9 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
     if use_device:
         from ..graph import device as device_mod
 
-        dists, ids = device_mod.search(index, qlist, k, params, engine=engine)
+        dists, ids = device_mod.search(
+            index, qlist, k, params, engine=engine, filter_mask=filter_mask
+        )
         # order-distance -> operator-distance (l2: sqrt; others same)
         if index.metric == "l2":
             dists = np.where(
@@ -340,7 +359,7 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto"):
         dists = np.full((B, k), np.inf, dtype=np.float64)
         ids = np.full((B, k), -1, dtype=np.int64)
         for b, q in enumerate(qlist):
-            scan = HnswScan(index, q, params)
+            scan = HnswScan(index, q, params, filter_mask=filter_mask)
             # HnswScan already emits operator-domain distances
             for j, (tid, d) in enumerate(scan.take(k)):
                 dists[b, j] = d
