@@ -284,6 +284,7 @@ class ShardedHnswIndex:
         k: int,
         params: SearchParams | None = None,
         engine: str = "auto",
+        filter_mask=None,
     ):
         """SPMD search: per-shard local search, all-gather + merge.
 
@@ -292,6 +293,11 @@ class ShardedHnswIndex:
         "auto" picks exact while every shard fits the single-chip exact
         cutover. Either way cross-shard traffic is ONE all_gather of
         per-shard top-k over ICI.
+
+        ``filter_mask``: optional bool array indexed by GLOBAL heap tid
+        (attribute filtering; it must cover the largest tid). The exact
+        engine pre-filters inside each shard's sweep (recall 1.0 over
+        the subset); beam post-filters before the merge.
 
         Returns (operator-distances [B, k] f64, heap ids [B, k]).
         """
@@ -312,10 +318,18 @@ class ShardedHnswIndex:
             )
         ef = max(params.ef_search, k)
         lmax = st["_lmax"]
+        filtered = filter_mask is not None
         fn = _sharded_search_fn(
-            self.mesh, self.metric, ef, k, lmax, 4 * ef + 32, engine
+            self.mesh, self.metric, ef, k, lmax, 4 * ef + 32, engine,
+            filtered,
         )
         qr = jax.device_put(q, NamedSharding(self.mesh, P()))
+        fm = (
+            np.asarray(filter_mask, dtype=bool)
+            if filtered
+            else np.zeros(1, dtype=bool)
+        )
+        fmr = jax.device_put(fm, NamedSharding(self.mesh, P()))
         d, tids = fn(
             st["values"],
             st["neighbors0"],
@@ -326,6 +340,7 @@ class ShardedHnswIndex:
             st["entry"],
             st["entry_level"],
             qr,
+            fmr,
         )
         d = np.asarray(d, dtype=np.float64)
         tids = np.asarray(tids, dtype=np.int64)
@@ -380,7 +395,8 @@ class ShardedScan:
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, mesh_ref):
+def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, filtered,
+               mesh_ref):
     mesh = mesh_ref[0]
 
     @jax.jit
@@ -397,11 +413,19 @@ def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, mesh_ref):
             P("shard"),
             P("shard"),
             P(),
+            P(),
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def fn(values, nb0, upper, uslot, trav, etid, entry, entry_level, queries):
+    def fn(values, nb0, upper, uslot, trav, etid, entry, entry_level, queries,
+           fmask):
+        # tid-keyed filter -> local element mask (clip-gather; tids
+        # outside the mask's range are excluded)
+        def tid_ok(t):
+            inb = (t >= 0) & (t < fmask.shape[0])
+            return inb & fmask[jnp.clip(t, 0, fmask.shape[0] - 1)]
+
         # local block: leading dim 1 (this shard)
         if engine == "exact":
             vals = values[0]
@@ -423,7 +447,10 @@ def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, mesh_ref):
                 scores = jnp.sum(
                     jnp.abs(queries[:, None, :] - vals[None, :, :]), axis=-1
                 )
-            scores = jnp.where(trav[0][None, :], scores, jnp.inf)
+            livemask = trav[0]
+            if filtered:  # pre-filter inside the sweep (recall 1.0)
+                livemask = livemask & tid_ok(etid[0])
+            scores = jnp.where(livemask[None, :], scores, jnp.inf)
             neg_d, beam_ids = jax.lax.top_k(-scores, ef)
             beam_d = -neg_d
         else:
@@ -443,6 +470,8 @@ def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, mesh_ref):
             )
         # element ids -> heap TIDs before leaving the shard
         tids = jnp.where(beam_ids >= 0, etid[0][jnp.maximum(beam_ids, 0)], -1)
+        if filtered and engine != "exact":  # beam: post-filter emissions
+            tids = jnp.where(tid_ok(tids), tids, -1)
         beam_d = jnp.where(tids >= 0, beam_d, jnp.inf)
         # one collective: every shard contributes its top-ef
         all_d = jax.lax.all_gather(beam_d, "shard")  # [S, B, ef]
@@ -456,7 +485,8 @@ def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, mesh_ref):
     return fn
 
 
-def _sharded_search_fn(mesh, metric, ef, k, lmax, max_steps, engine="beam"):
+def _sharded_search_fn(mesh, metric, ef, k, lmax, max_steps, engine="beam",
+                       filtered=False):
     # lru_cache keyed on mesh identity + static config
     return _cached_fn(
         (id(mesh), tuple(mesh.axis_names), mesh.devices.shape),
@@ -466,5 +496,6 @@ def _sharded_search_fn(mesh, metric, ef, k, lmax, max_steps, engine="beam"):
         lmax,
         max_steps,
         engine,
+        filtered,
         (mesh,),
     )

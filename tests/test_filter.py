@@ -154,6 +154,35 @@ def test_bit_filter():
     assert recall_at_k(ids, gt, 5) >= 0.6
 
 
+def test_sharded_filter_exact_and_beam():
+    """Filtered SPMD search: tid-keyed mask, pre-filtered exact sweep
+    (recall 1.0 over the subset) + post-filtered beam."""
+    from pgvector_rx_tpu.parallel import ShardedHnswIndex
+
+    rng = np.random.default_rng(21)
+    data = rng.random((800, 12)).astype(np.float32)
+    queries = rng.random((10, 12)).astype(np.float32)
+    sharded = ShardedHnswIndex.build(
+        data, n_shards=4, metric="l2", method="host", seed=5
+    )
+    mask = (np.arange(len(data)) % 6) == 0
+    k = 5
+    _, ids = sharded.search(queries, k, engine="exact", filter_mask=mask)
+    gt = filtered_gt(data, queries, "l2", k, mask)
+    assert recall_at_k(ids, gt, k) == 1.0
+    assert all(mask[i] for row in ids for i in row if i >= 0)
+
+    params = SearchParams(ef_search=60)
+    _, ids_b = sharded.search(
+        queries, k, params, engine="beam", filter_mask=mask
+    )
+    assert all(mask[i] for row in ids_b for i in row if i >= 0)
+    # unfiltered still works after a filtered call (separate program)
+    _, ids_u = sharded.search(queries, k, engine="exact")
+    gt_u = brute_force(data, queries, "l2", k)
+    assert recall_at_k(ids_u, gt_u, k) == 1.0
+
+
 def test_sparse_filter():
     rng = np.random.default_rng(9)
     dim, n = 300, 300
