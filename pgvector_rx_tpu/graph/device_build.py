@@ -61,7 +61,7 @@ _APPROX_TOPK_MIN = 16384
 # width; the beam is asymptotically cheaper above it AND generates
 # path-diverse candidates (not just the tightest exact neighbors),
 # which the select heuristic needs for long-range navigability.
-_DESCENT_MIN_WIDTH = int(os.environ.get("PGV_BUILD_DESCENT_MIN", 131072))
+_DESCENT_MIN_WIDTH = int(os.environ.get("PGV_BUILD_DESCENT_MIN", 65536))
 
 # Stream the corpus upload in chunks behind the early build groups when
 # the upload is at least this large. Measured through the tunneled
@@ -252,6 +252,30 @@ def _init_combined(rows: int, idw: int, dw: int) -> jax.Array:
         jnp.full((rows, dw * 2), jnp.inf, jnp.bfloat16)
     )
     return jnp.concatenate([ids, dpk], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cap_pad", "upper_pad", "lm0", "m", "lmax", "mp2",
+                     "ivf", "ivf_cap"),
+)
+def _init_build_arrays(cap_pad: int, upper_pad: int, lm0: int, m: int,
+                       lmax: int, mp2: int, ivf: bool, ivf_cap: int):
+    """ALL fresh builder state in ONE compiled program: both combined
+    adjacency arrays plus the scalar/flag vectors. Each distinct program
+    pays a one-time per-process load through the tunneled backend
+    (~1-3s even cache-warm), so builder startup fuses its buffer
+    initialization into a single dispatch."""
+    nb0c = _init_combined(cap_pad, lm0, lm0 // 2)
+    upc = _init_combined(upper_pad, lmax * m, lmax * mp2)
+    alive = jnp.zeros((cap_pad,), dtype=jnp.bool_)
+    tid_counts = jnp.zeros((cap_pad,), dtype=jnp.int32)
+    absorb = jnp.full((cap_pad,), -1, dtype=jnp.int32)
+    members = jnp.full(
+        (upper_pad, ivf_cap) if ivf else (1, 1), -1, dtype=jnp.int32
+    )
+    member_counts = jnp.zeros((upper_pad if ivf else 1,), dtype=jnp.int32)
+    return nb0c, upc, alive, tid_counts, absorb, members, member_counts
 
 
 @functools.partial(jax.jit, static_argnames=("m", "mp2"))
@@ -491,6 +515,17 @@ class DeviceBuilder:
     def __init__(self, metric: str, vectors: np.ndarray, levels: np.ndarray, m: int,
                  ef_construction: int, batch_max: int = 1024,
                  alpha: float | None = None):
+        _it0 = time.time()
+        _timing = os.environ.get("PGV_BUILD_TIMING")
+
+        def _imark(name):
+            nonlocal _it0
+            if _timing:
+                t = time.time()
+                print(f"[build]   init.{name} {t - _it0:.2f}s",
+                      file=sys.stderr, flush=True)
+                _it0 = t
+
         self.metric = metric
         self.m = m
         self.efc = ef_construction
@@ -581,8 +616,10 @@ class DeviceBuilder:
         elif device_input:
             # corpus already on device (e.g. produced by a TPU embedding
             # model): pad + derive views in one program, zero transfer
+            _imark("pre-ingest")
             self._ingested = _ingest_device(vectors, rows=cap_pad)
             self.vectors = self._ingested[0]
+            _imark("ingest-device")
         else:
             pad_rows = np.zeros((cap_pad - n, self.dim), dtype=np.float32)
             self.vectors = jnp.asarray(
@@ -602,6 +639,7 @@ class DeviceBuilder:
         perm = np.random.default_rng(0xA953).permutation(
             max(self.n_upper, 1)
         )[: self.n_upper].astype(np.int32)
+        _imark("perm")
         if device_input:
             (
                 self.levels,
@@ -618,6 +656,7 @@ class DeviceBuilder:
                 upper_pad=upper_pad,
                 lmax=self.lmax,
             )
+            _imark("ingest-tables")
         else:
             self.levels = jnp.asarray(
                 np.concatenate(
@@ -641,23 +680,25 @@ class DeviceBuilder:
         # pruning distances stored bf16 inside the combined arrays:
         # ranking-only state, and the f32 form is 2GB of HBM at 10M rows
         self.mp2 = (m + 1) // 2  # packed dist cols per upper layer
+        _imark("host-tables")
+        nb0c, upc, alive, tid_counts, absorb, members, member_counts = (
+            _init_build_arrays(
+                cap_pad, upper_pad, self.lm0, m, self.lmax, self.mp2,
+                self.ivf, self.ivf_cap,
+            )
+        )
         self.arrays = BuildArrays(
-            nb0c=_init_combined(cap_pad, self.lm0, self.lm0 // 2),
-            upc=_init_combined(upper_pad, self.lmax * m, self.lmax * self.mp2),
-            alive=jnp.zeros((cap_pad,), dtype=jnp.bool_),
-            tid_counts=jnp.zeros((cap_pad,), dtype=jnp.int32),
-            absorb=jnp.full((cap_pad,), -1, dtype=jnp.int32),
+            nb0c=nb0c,
+            upc=upc,
+            alive=alive,
+            tid_counts=tid_counts,
+            absorb=absorb,
             entry=jnp.int32(-1),
             entry_level=jnp.int32(-1),
-            members=(
-                jnp.full((upper_pad, self.ivf_cap), -1, dtype=jnp.int32)
-                if self.ivf
-                else jnp.full((1, 1), -1, dtype=jnp.int32)
-            ),
-            member_counts=jnp.zeros(
-                (upper_pad if self.ivf else 1,), dtype=jnp.int32
-            ),
+            members=members,
+            member_counts=member_counts,
         )
+        _imark("init-combined")
         up_vecs_j = up_vecs_dev if device_input else jnp.asarray(up_vecs)
         # fused square+reduce: the eager form materializes a second
         # full-corpus f32 temp (5.4GB at 10M rows)
@@ -685,6 +726,7 @@ class DeviceBuilder:
                 up_masks_j if device_input else jnp.asarray(up_masks)
             ),
         )
+        _imark("build-data")
         self._search_jit = jax.jit(
             self._score_select_step, static_argnames=("width",)
         )
