@@ -175,6 +175,53 @@ class DeviceGraph:
 # ---------------------------------------------------------------------------
 
 
+#: beam-loop ranking in bf16 (half the gather bytes per candidate row;
+#: exact f32 distances are restored by one final re-score of the beam).
+#: Default OFF: measured qps-neutral at 128-d and slightly SLOWER at
+#: 768-d (TPU v5e, 1M rows) — the loop is sort/latency-bound, not
+#: gather-bound, so the extra cast+re-score doesn't pay for itself.
+_BEAM_BF16 = os.environ.get("PGV_BEAM_BF16", "0") != "0"
+
+
+def _dist_ids_rank(g: DeviceGraph, q, ids):
+    """Ranking-only distances for the beam loop.
+
+    Dense metrics gather the bf16 corpus copy when present — the loop
+    is dominated by random row gathers from HBM (~25x below sequential
+    bandwidth), so halving the row bytes roughly halves the step's
+    memory time. bf16 rounding only perturbs candidate ORDER; callers
+    re-score the surviving beam exactly once after the loop.
+    """
+    if (
+        _BEAM_BF16
+        and g.kind == "dense"
+        and g.values_bf16 is not None
+        and g.metric != "l1"  # l1 accumulates many small terms
+    ):
+        safe = jnp.clip(ids, 0, g.cap)
+        cand = g.values_bf16[safe]
+        qb = q.astype(jnp.bfloat16)
+        if g.metric == "l2":
+            d = (cand - qb).astype(jnp.float32)
+            return jnp.sum(d * d, axis=-1)
+        dots = jnp.sum(
+            (cand * qb).astype(jnp.float32), axis=-1
+        )
+        if g.metric == "ip":
+            return -dots
+        return 1.0 - jnp.clip(dots, -1.0, 1.0)  # cosine
+    return _dist_ids(g, q, ids)
+
+
+def _rank_is_approx(g: DeviceGraph) -> bool:
+    return (
+        _BEAM_BF16
+        and g.kind == "dense"
+        and g.values_bf16 is not None
+        and g.metric != "l1"
+    )
+
+
 def _dist_ids(g: DeviceGraph, q, ids):
     """Order-distances from one query to graph rows `ids` (any shape)."""
     safe = jnp.clip(ids, 0, g.cap)
@@ -311,7 +358,7 @@ def _greedy_descent(g: DeviceGraph, q, entry_id, entry_dist, layer: int):
             g.upper_neighbors[jnp.maximum(slot, 0)], off, g.m
         )  # [M]
         valid = (nbrs >= 0) & (slot >= 0) & g.traversable[jnp.clip(nbrs, 0, g.cap)]
-        d = _dist_ids(g, q, nbrs)
+        d = _dist_ids_rank(g, q, nbrs)
         d = jnp.where(valid, d, jnp.inf)
         best = jnp.argmin(d)
         best_d = d[best]
@@ -345,9 +392,15 @@ def _ground_beam(
     )
 
 
-#: beam corpora past this row count skip the visited bitmap ([B, cap+1]
-#: bool would exceed HBM at serving batch sizes) and dedup in-beam
-_VISITED_MAX_ROWS = int(os.environ.get("PGV_BEAM_VISITED_MAX", 1 << 21))
+#: beam corpora past this row count keep a per-query visited bitmap;
+#: at or below it they dedup in-beam. Default 0 = ALWAYS dedup in-beam:
+#: measured on TPU v5e at 1M x 128-d the [B, cap+1] bitmap's per-step
+#: scatter+gather makes the beam 11-38x SLOWER (680 qps vs 26k at
+#: ef=40) for identical recall — the bitmap only reproduces Algorithm
+#: 2's exact no-re-expansion bookkeeping, which the in-beam dedup
+#: approximates with bounded re-expansion waste. Set
+#: PGV_BEAM_VISITED_MAX large to restore exact visited semantics.
+_VISITED_MAX_ROWS = int(os.environ.get("PGV_BEAM_VISITED_MAX", 0))
 
 
 def _ground_beam_seeds(
@@ -435,7 +488,7 @@ def _ground_beam_seeds(
             undup = jnp.zeros_like(mask).at[order].set(~dup)
             mask = mask & undup
 
-        d_new = _dist_ids(g, q, nbrs)
+        d_new = _dist_ids_rank(g, q, nbrs)
         d_new = jnp.where(mask, d_new, jnp.inf)
         ids_new = jnp.where(mask, nbrs, -1)
         exp_new = jnp.where(mask, 0, 1)
@@ -461,6 +514,11 @@ def _ground_beam_seeds(
     beam_d, beam_ids, beam_exp, visited, steps = jax.lax.while_loop(
         cond, body, (beam_d, beam_ids, beam_exp, visited, jnp.int32(0))
     )
+    if _rank_is_approx(g):
+        # restore exact f32 distances for the surviving beam (one [ef]
+        # gather; the bf16 values steered ranking only)
+        d_exact = _dist_ids(g, q, beam_ids)
+        beam_d = jnp.where(beam_ids >= 0, d_exact, jnp.inf)
     sd, sids = jax.lax.sort([beam_d, beam_ids], num_keys=2)
     return sd, sids, steps
 
@@ -989,7 +1047,7 @@ def serve_topk(index, queries_dev, k: int, engine: str = "approx",
         g, queries_dev, k, engine, chunk,
         ef=ef_eff, entry_level=g.entry_level,
         max_steps=4 * ef_eff + 32,
-        expand=int(os.environ.get("PGV_BEAM_EXPAND", 4)),
+        expand=int(os.environ.get("PGV_BEAM_EXPAND", 1)),
         upper=_coarse_upper(g) if engine == "beam" else None,
         row_mask=row_mask,
     )
@@ -1110,7 +1168,7 @@ def search(index, qlist, k: int, params, engine: str = "auto",
     # E-way expansion: E best unexpanded candidates per step. The loop
     # (not the expansion work) is the latency bound on TPU, and the
     # step budget scales with E, which larger corpora need.
-    expand = int(os.environ.get("PGV_BEAM_EXPAND", 4))
+    expand = int(os.environ.get("PGV_BEAM_EXPAND", 1))
     if engine == "auto":
         # sparse merge-join sweeps cost O(N*P*logP) VPU work per query
         # batch, so the exact cutover is much lower than the MXU kinds
@@ -1308,43 +1366,50 @@ def beam_search_arrays(
 
             cur, cur_d, _ = jax.lax.while_loop(g_cond, g_body, (cur, cur_d, active))
 
-        # ground beam
+        # ground beam — in-beam id dedup instead of a [cap+1] visited
+        # bitmap (the bitmap's per-step scatter+gather measured 11-38x
+        # slower at 1M rows on TPU for identical recall; see
+        # _ground_beam_seeds)
         beam_d = jnp.full((ef,), jnp.inf, jnp.float32).at[0].set(cur_d)
         beam_ids = jnp.full((ef,), -1, jnp.int32).at[0].set(cur)
         beam_exp = jnp.ones((ef,), jnp.int32).at[0].set(0)
-        visited = jnp.zeros((cap + 1,), jnp.bool_).at[cur].set(True)
 
         def cond(state):
-            bd, bids, bexp, vis, steps = state
+            bd, bids, bexp, steps = state
             unexp = jnp.where(bexp == 1, jnp.inf, bd)
             best = jnp.min(unexp)
             return (best <= jnp.max(bd)) & jnp.isfinite(best) & (steps < max_steps)
 
         def body(state):
-            bd, bids, bexp, vis, steps = state
+            bd, bids, bexp, steps = state
             unexp = jnp.where(bexp == 1, jnp.inf, bd)
             pos = jnp.argmin(unexp)
             u = bids[pos]
             bexp = bexp.at[pos].set(1)
             nbrs = neighbors0[jnp.maximum(u, 0)]
             safe = jnp.clip(nbrs, 0, cap)
-            mask = (nbrs >= 0) & ~vis[safe] & traversable[safe]
-            vis = vis.at[jnp.where(nbrs >= 0, nbrs, cap)].set(True)
+            mask = (nbrs >= 0) & traversable[safe]
             d_new = jnp.where(mask, dist(q, values[safe]), jnp.inf)
             ids_new = jnp.where(mask, nbrs, -1)
             exp_new = jnp.where(mask, 0, 1)
-            sd, sids, sexp = jax.lax.sort(
-                [
-                    jnp.concatenate([bd, d_new]),
-                    jnp.concatenate([bids, ids_new]),
-                    jnp.concatenate([bexp, exp_new]),
-                ],
-                num_keys=2,
+            all_d = jnp.concatenate([bd, d_new])
+            all_ids = jnp.concatenate([bids, ids_new])
+            all_exp = jnp.concatenate([bexp, exp_new])
+            # dedup by id, expanded copy first, then rank by distance
+            o_ids, o_nexp, o_d = jax.lax.sort(
+                [all_ids, 1 - all_exp, all_d], num_keys=2
             )
-            return (sd[:ef], sids[:ef], sexp[:ef], vis, steps + 1)
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+            )
+            all_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
+            sd, sids, sexp = jax.lax.sort(
+                [all_d, o_ids, 1 - o_nexp], num_keys=2
+            )
+            return (sd[:ef], sids[:ef], sexp[:ef], steps + 1)
 
-        bd, bids, _, _, _ = jax.lax.while_loop(
-            cond, body, (beam_d, beam_ids, beam_exp, visited, jnp.int32(0))
+        bd, bids, _, _ = jax.lax.while_loop(
+            cond, body, (beam_d, beam_ids, beam_exp, jnp.int32(0))
         )
         sd, sids = jax.lax.sort([bd, bids], num_keys=2)
         return sd, sids
