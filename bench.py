@@ -183,14 +183,21 @@ def main():
     else:
         # device_mode: the corpus is already device-resident (the
         # TPU-native production story — embeddings produced on the same
-        # chip) and the build runs transfer-free end to end.
+        # chip) and the build runs transfer-free end to end. When the
+        # ground truth reuses the index's own exact sweep (engine GT),
+        # the build may consume the corpus buffer — required to fit a
+        # 10M x 128-d build + serve in one 16GB chip.
         build_input = data_dev if device_mode else data
+        consume = device_mode and os.environ.get("PGV_BENCH_GT") == "engine"
+        if consume:
+            data_dev = None  # ownership moves to the build
         log("building index (batched device build)...")
         t0 = time.time()
         index = HnswIndex.build(
             build_input, metric="l2", method="device", seed=1,
-            host_graph=False,
+            host_graph=False, consume_input=consume,
         )
+        del build_input
         build_s = time.time() - t0
         build_rate = n / build_s
         log(f"  build: {build_s:.1f}s = {build_rate:.0f} vectors/sec")

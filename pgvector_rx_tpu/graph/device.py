@@ -1417,9 +1417,13 @@ def beam_search_arrays(
     return jax.vmap(one)(queries)
 
 
-def bulk_build(index, data, ids, host_graph: bool = True):
+def bulk_build(index, data, ids, host_graph: bool = True,
+               consume_input: bool = False):
     """Batched device bulk build (device_build.py: exact MXU-scored
     frozen-snapshot batch insertion)."""
     from . import device_build
 
-    device_build.bulk_build(index, data, ids, host_graph=host_graph)
+    device_build.bulk_build(
+        index, data, ids, host_graph=host_graph,
+        consume_input=consume_input,
+    )

@@ -514,7 +514,7 @@ class DeviceBuilder:
 
     def __init__(self, metric: str, vectors: np.ndarray, levels: np.ndarray, m: int,
                  ef_construction: int, batch_max: int = 1024,
-                 alpha: float | None = None):
+                 alpha: float | None = None, consume_input: bool = False):
         _it0 = time.time()
         _timing = os.environ.get("PGV_BUILD_TIMING")
 
@@ -619,6 +619,17 @@ class DeviceBuilder:
             _imark("pre-ingest")
             self._ingested = _ingest_device(vectors, rows=cap_pad)
             self.vectors = self._ingested[0]
+            if consume_input:
+                # the caller ceded ownership: free its corpus buffer as
+                # soon as the padded copy exists, so the build's HBM
+                # peak doesn't carry both (at 10M x 128-d the extra
+                # 5.4GB f32 copy is the difference between fitting a
+                # 16GB chip and OOM). Sync first — the tunneled backend
+                # acks dispatches asynchronously and
+                # jax.block_until_ready is a no-op through it, so drain
+                # via a scalar readback.
+                float(np.asarray(self._ingested[2][0]))
+                vectors.delete()
             _imark("ingest-device")
         else:
             pad_rows = np.zeros((cap_pad - n, self.dim), dtype=np.float32)
@@ -2006,8 +2017,15 @@ def _prepare_dense_device(index, data, ids):
     return v, tids
 
 
-def bulk_build(index, data, ids, host_graph: bool = True) -> None:
+def bulk_build(index, data, ids, host_graph: bool = True,
+               consume_input: bool = False) -> None:
     """Entry point called by HnswIndex.build(method='device').
+
+    ``consume_input`` (device-resident corpus + host_graph=False only):
+    the build takes ownership of ``data`` and frees it once the padded
+    build buffer exists — halves the corpus HBM footprint during build,
+    which is what lets a 10M x 128-d device-input build fit a 16GB
+    chip. The caller's array is invalid afterwards.
 
     Prepares values (cosine normalize / zero-skip), assigns levels with
     the index RNG, runs the batched build, then populates the host index
@@ -2033,8 +2051,15 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
                   file=sys.stderr, flush=True)
             _t0 = t
 
+    if consume_input and (host_graph or not _is_device_array(data)):
+        raise ValueError(
+            "consume_input requires a device-resident corpus and "
+            "host_graph=False"
+        )
     if index.kind == "dense" and _is_device_array(data):
         vectors, kept_tids = _prepare_dense_device(index, data, ids)
+        if consume_input and vectors is not data:
+            data.delete()  # prepare made a transformed copy
         n = int(vectors.shape[0])
         if n == 0:
             return
@@ -2080,6 +2105,7 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
             os.environ.get("PGV_BUILD_BATCH", 0)
         )
         or min(1024, max(64, 1 << max(n // 16, 1).bit_length() >> 1)),
+        consume_input=consume_input,
     )
 
     _phase("builder-init")
@@ -2113,6 +2139,10 @@ def bulk_build(index, data, ids, host_graph: bool = True) -> None:
         # index a DeviceGraph built straight from the builder arrays
         if isinstance(vectors, np.ndarray):
             index.store.bulk_load(vectors.astype(store_dtype))
+        elif consume_input:
+            # the input buffer was freed; back the store with the
+            # builder's padded buffer (sliced to n on lazy download)
+            index.store.bulk_load_device(builder.data.vectors, count=n)
         else:  # device-resident input: host copy only if ever needed
             index.store.bulk_load_device(vectors)
         index.heap_tids = heap_tids

@@ -365,6 +365,7 @@ class HnswIndex:
         seed: int = 0,
         method: str = "auto",
         host_graph: bool = True,
+        consume_input: bool = False,
     ) -> "HnswIndex":
         """Build an index from data (ambuild analog).
 
@@ -375,6 +376,10 @@ class HnswIndex:
         ``host_graph=False`` (device method only): serving-only index —
         skips per-element host graph materialization; insert/delete/
         vacuum raise until a rebuild (for large serving corpora).
+        ``consume_input=True`` (device-resident corpus + serving-only):
+        the build takes ownership of ``data`` and frees the caller's
+        buffer once its padded copy exists — halves the corpus HBM
+        footprint during build (10M x 128-d fits a 16GB chip).
         """
         device_data = _is_device_data(data)
         kind = (
@@ -427,7 +432,10 @@ class HnswIndex:
         if method == "device":
             from ..graph import device as device_mod
 
-            device_mod.bulk_build(idx, data, ids, host_graph=host_graph)
+            device_mod.bulk_build(
+                idx, data, ids, host_graph=host_graph,
+                consume_input=consume_input,
+            )
         elif method == "native":
             from .. import native
 

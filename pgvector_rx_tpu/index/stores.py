@@ -42,7 +42,11 @@ class DenseStore:
         through the device graph and never pay it."""
         if self._device_rows is not None:
             dev, self._device_rows = self._device_rows, None
-            self._rows = np.asarray(dev).astype(self.dtype, copy=False)
+            host = np.asarray(dev).astype(self.dtype, copy=False)
+            # capacity-padded device backing: keep the live prefix
+            self._rows = host[: max(self.count, 0)] if (
+                host.shape[0] > self.count
+            ) else host
         return self._rows
 
     @rows.setter
@@ -73,14 +77,15 @@ class DenseStore:
         self.rows = np.ascontiguousarray(rows, dtype=self.dtype)
         self.count = len(rows)
 
-    def bulk_load_device(self, dev_rows) -> None:
+    def bulk_load_device(self, dev_rows, count: int | None = None) -> None:
         """Adopt a device-resident [N, dim] array without downloading it
         (empty store only). The host copy materializes lazily on first
         ``rows`` access (save/host-scan paths); device serving never
-        downloads."""
+        downloads. ``count`` < N adopts a capacity-padded buffer whose
+        first ``count`` rows are live (the lazy download slices)."""
         assert self.count == 0
         self._device_rows = dev_rows
-        self.count = int(dev_rows.shape[0])
+        self.count = int(count if count is not None else dev_rows.shape[0])
 
     def reset_device(self, dev_rows) -> None:
         """Replace the whole backing with a device-resident [N, dim]

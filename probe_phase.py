@@ -112,8 +112,16 @@ def main():
             groups.append((w, [(start, size)]))
 
     for w, batches in groups:
-        if w in (131072, 0):
+        if w in (131072, 65536, 0):
             split_timed(batches, w, f"w={w}")
+        elif w == -1:
+            # merged-regime groups: resolve the per-batch width the way
+            # run_batch does, probe with the split programs
+            start0 = batches[0][0]
+            eff = 0 if start0 + 1 > b.descent_min else min(
+                b.descent_min, b.cap + 1
+            )
+            split_timed(batches, eff, f"w=-1(eff={eff})")
         else:
             run_group(batches, w)
 
