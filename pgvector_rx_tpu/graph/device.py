@@ -769,8 +769,17 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
         return d, jnp.where(jnp.isfinite(d), ids, -1)
 
     # chunked sweep + merge (l1 uses small chunks: its direct-difference
-    # scoring materializes [B, CH, D])
-    CH = 2048 if g.metric == "l1" else _EXACT_SWEEP_CHUNK
+    # scoring materializes [B, CH, D]). The [B, CH] score block plus
+    # top_k's sort workspace must fit NEXT TO the resident graph: at 10M
+    # rows the graph holds ~10GB of a 16GB chip, so bound the block at
+    # ~256MB (measured: the 1GB block at [1024, 2^18] OOMs a 10M serve)
+    if g.metric == "l1":
+        CH = 2048
+    else:
+        CH = _EXACT_SWEEP_CHUNK
+        budget = (256 << 20) if cap1 > (4 << 20) else (1 << 30)
+        while B * CH * 4 > budget and CH > 8192:
+            CH //= 2
     pad = (-cap1) % CH
     vals_p = jnp.pad(vals, ((0, pad), (0, 0)))
     x2_p = jnp.pad(x2, (0, pad))
