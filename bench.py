@@ -21,7 +21,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 20000 (BASELINE.md: >= 20k QPS/chip target).
 
 Env knobs: PGV_BENCH_N (default 1000000), PGV_BENCH_Q (16384 queries),
-PGV_BENCH_DIM (128), PGV_BENCH_BEAM (1).
+PGV_BENCH_DIM (128), PGV_BENCH_BEAM (1), PGV_BENCH_DEVICE_INPUT
+(default 1: corpus generated device-resident, zero-transfer ingest;
+0 = host numpy ingest, which through the dev harness's tunnel mostly
+measures tunnel bandwidth).
 """
 
 import json
@@ -148,8 +151,14 @@ def main():
     from pgvector_rx_tpu.graph import device as device_mod
     from pgvector_rx_tpu.index.hnsw import HnswIndex
 
+    # Default to the device-resident corpus (the TPU-native production
+    # story: embeddings are produced by a model on the same chip, the
+    # index ingests them with zero host transfer). PGV_BENCH_DEVICE_INPUT=0
+    # opts into the host-numpy ingest path, whose wall time through the
+    # dev harness's tunnel measures tunnel bandwidth (146-812s at 1M
+    # measured same-day), not the build engine.
     device_mode = (
-        os.environ.get("PGV_BENCH_DEVICE_INPUT") == "1"
+        os.environ.get("PGV_BENCH_DEVICE_INPUT", "1") == "1"
         and os.environ.get("PGV_BENCH_DATA") != "hard"
     )
     data = queries = None
