@@ -207,10 +207,27 @@ class HalfVec:
         check_expected_dim(typmod, a.shape[0])
         return cls(a, _validate=True)
 
-    def to_vector(self):
-        from .vector import Vector
+    def to_vector(self, typmod: int | None = None):
+        """``halfvec`` -> ``vector`` widening cast.
 
+        Parity: halfvec.rs halfvec_to_vector (:617-639).
+        """
+        from .vector import Vector
+        from .vector import check_expected_dim as _v_typmod
+
+        _v_typmod(typmod, self.dim)
         return Vector(self.data.astype(np.float32), _validate=False)
+
+    def to_sparsevec(self, typmod: int | None = None):
+        """``halfvec`` -> ``sparsevec`` cast: widen to f32, drop zeros.
+
+        Parity: sparsevec.rs halfvec_to_sparsevec (:624-658).
+        """
+        from .sparsevec import SparseVec
+        from .sparsevec import check_expected_dim as _sv_typmod
+
+        _sv_typmod(typmod, self.dim)
+        return SparseVec.from_dense(self.data.astype(np.float32))
 
     def cast(self, typmod: int) -> "HalfVec":
         check_expected_dim(typmod, self.dim)

@@ -112,6 +112,35 @@ class SparseVec:
         out[self.indices] = self.values
         return out
 
+    def to_vector(self, typmod: int | None = None):
+        """``sparsevec`` -> ``vector`` typed cast.
+
+        Parity: sparsevec.rs sparsevec_to_vector (:663-695).
+        """
+        from .vector import Vector
+        from .vector import check_expected_dim as _v_typmod
+
+        _v_typmod(typmod, self.dim)
+        return Vector(self.to_dense(), _validate=False)
+
+    def to_halfvec(self, typmod: int | None = None):
+        """``sparsevec`` -> ``halfvec`` cast. NOTE: the reference applies
+        f32_to_half here WITHOUT the overflow check that vector->halfvec
+        has (sparsevec.rs:700-731 vs halfvec.rs:661-666), so out-of-range
+        values silently become +/-inf; mirrored faithfully.
+        """
+        from .halfvec import HalfVec
+        from .halfvec import check_dim as _h_dim
+        from .halfvec import check_expected_dim as _h_typmod
+
+        _h_dim(self.dim)
+        _h_typmod(typmod, self.dim)
+        dense = np.zeros(self.dim, dtype=np.float32)
+        dense[self.indices] = self.values
+        with np.errstate(over="ignore"):
+            h = dense.astype(np.float16)
+        return HalfVec(h, _validate=False)
+
     def norm(self) -> float:
         a = self.values.astype(np.float64)
         return float(np.sqrt(np.sum(a * a)))

@@ -192,6 +192,28 @@ class Vector:
         check_expected_dim(typmod, self.dim)
         return self
 
+    def to_halfvec(self, typmod: int | None = None):
+        """``vector`` -> ``halfvec`` cast: RNE rounding; a finite value
+        that overflows f16 to inf errors. Parity: halfvec.rs
+        vector_to_halfvec (:644-672).
+        """
+        from .halfvec import HalfVec
+        from .halfvec import check_expected_dim as _hv_typmod
+
+        _hv_typmod(typmod, self.dim)
+        return HalfVec(self.data)
+
+    def to_sparsevec(self, typmod: int | None = None):
+        """``vector`` -> ``sparsevec`` cast: exact zeros drop out.
+
+        Parity: sparsevec.rs vector_to_sparsevec (:585-619).
+        """
+        from .sparsevec import SparseVec
+        from .sparsevec import check_expected_dim as _sv_typmod
+
+        _sv_typmod(typmod, self.dim)
+        return SparseVec.from_dense(self.data)
+
     # -- dunder --------------------------------------------------------------
 
     def __repr__(self) -> str:

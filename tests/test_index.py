@@ -810,3 +810,90 @@ class TestInsertRecallOtherKinds:
         _, ids = idx.search(rows[:15], 5, SearchParams(ef_search=40),
                             method="host")
         assert recall_at_k(ids, gt, 5) >= 0.95
+
+
+class TestPerTypeVacuumRecall:
+    """022/026/030 analogs: m=4/efc=8, delete 75%, vacuum, recall >= 0.95
+    (tests/t/014:89-95 thresholds applied per value kind)."""
+
+    PARAMS = IndexParams(m=4, ef_construction=8)
+
+    def _run(self, idx, all_data, queries, metric, n):
+        keep = np.arange(n) % 4 == 0
+        idx.delete(np.nonzero(~keep)[0])
+        idx.vacuum()
+        kept_ids = np.nonzero(keep)[0]
+        gt = kept_ids[brute_force(all_data[keep], queries, metric, 10)]
+        _, ids = idx.search(
+            queries, 10, SearchParams(ef_search=40), method="host"
+        )
+        assert recall_at_k(ids, gt, 10) >= 0.95
+
+    def test_bit_vacuum_recall(self):
+        rng = np.random.default_rng(22)
+        bits = rng.integers(0, 2, size=(400, 52)).astype(np.uint8)
+        idx = HnswIndex.build(
+            bits, metric="hamming", params=self.PARAMS, method="host", seed=22
+        )
+        self._run(idx, bits, bits[rng.integers(0, 400, 15)], "hamming", 400)
+
+    def test_halfvec_vacuum_recall(self):
+        rng = np.random.default_rng(26)
+        data = rng.random((400, 6)).astype(np.float32)
+        idx = HnswIndex.build(
+            data, metric="l2", dtype=np.float16, params=self.PARAMS,
+            method="host", seed=26,
+        )
+        stored = idx.store.rows[:400].astype(np.float32)  # f16-rounded
+        self._run(idx, stored, rng.random((15, 6)).astype(np.float32),
+                  "l2", 400)
+
+    def test_sparse_vacuum_recall(self):
+        rng = np.random.default_rng(30)
+        dense = rng.random((400, 30)).astype(np.float32)
+        dense[rng.random((400, 30)) < 0.7] = 0.0
+        dense[:, 0] += 0.01
+        rows = [SparseVec.from_dense(r) for r in dense]
+        idx = HnswIndex.build(
+            rows, metric="l2", params=self.PARAMS, method="host", seed=30
+        )
+        keep = np.arange(400) % 4 == 0
+        idx.delete(np.nonzero(~keep)[0])
+        idx.vacuum()
+        kept_ids = np.nonzero(keep)[0]
+        queries = [rows[i] for i in range(0, 400, 27)]
+        qdense = dense[list(range(0, 400, 27))]
+        gt = kept_ids[brute_force(dense[keep], qdense, "l2", 10)]
+        _, ids = idx.search(queries, 10, SearchParams(ef_search=40),
+                            method="host")
+        assert recall_at_k(ids, gt, 10) >= 0.95
+
+
+class TestPerTypeDuplicates:
+    """023/027/031 analogs: 20 identical values fold into one element
+    capped at 10 heap TIDs; ef_search=1 exposes exactly 10 rows."""
+
+    def _check(self, idx, query):
+        counts = sorted((len(t) for t in idx.heap_tids if t), reverse=True)
+        assert counts[0] == 10
+        _, ids = idx.search(query, 20, SearchParams(ef_search=1),
+                            method="host")
+        assert (np.asarray(ids) >= 0).sum() == 10
+
+    def test_bit_duplicates(self):
+        row = np.array([1, 0, 1, 1, 0, 0, 1, 0], dtype=np.uint8)
+        data = np.tile(row, (20, 1))
+        idx = HnswIndex.build(data, metric="hamming", method="host")
+        self._check(idx, row)
+
+    def test_halfvec_duplicates(self):
+        row = np.array([1.5, 2.25, 3.0], dtype=np.float32)
+        data = np.tile(row, (20, 1))
+        idx = HnswIndex.build(data, metric="l2", dtype=np.float16,
+                              method="host")
+        self._check(idx, row)
+
+    def test_sparse_duplicates(self):
+        rows = [SparseVec(10, [1, 4], [1.0, 2.0]) for _ in range(20)]
+        idx = HnswIndex.build(rows, metric="l2", method="host")
+        self._check(idx, rows[0])

@@ -310,3 +310,62 @@ class TestBitVec:
         bits_b = rng.integers(0, 2, 999)
         a, b = BitVec.from_bits(bits_a), BitVec.from_bits(bits_b)
         assert bitvec.hamming_distance(a, b) == float(np.sum(bits_a != bits_b))
+
+
+# ---------------------------------------------------------------------------
+# cross-type casts (sparsevec.rs:585-731, halfvec.rs:617-672; test parity:
+# sparsevec.rs test_{vector,halfvec}_to_sparsevec_cast and inverses)
+# ---------------------------------------------------------------------------
+
+
+class TestCrossTypeCasts:
+    def test_vector_to_sparsevec_drops_zeros(self):
+        sv = Vector.from_text("[1,0,2]").to_sparsevec()
+        assert sv.to_text() == "{1:1,3:2}/3"
+
+    def test_sparsevec_to_vector(self):
+        v = SparseVec.from_text("{1:1,3:2}/3").to_vector()
+        assert v.to_text() == "[1,0,2]"
+
+    def test_halfvec_to_sparsevec(self):
+        sv = HalfVec.from_text("[1,0,2]").to_sparsevec()
+        assert sv.to_text() == "{1:1,3:2}/3"
+
+    def test_sparsevec_to_halfvec(self):
+        hv = SparseVec.from_text("{1:1,3:2}/3").to_halfvec()
+        assert hv.to_text() == "[1,0,2]"
+
+    def test_vector_to_halfvec_rounds_rne(self):
+        hv = Vector([1.0, 2.5, 0.1]).to_halfvec()
+        assert hv.data.dtype == np.float16
+        assert hv.data[1] == np.float16(2.5)
+
+    def test_vector_to_halfvec_overflow_errors(self):
+        # 1e30 is finite in f32 but overflows f16 (halfvec.rs:661-666)
+        with pytest.raises(ValueError, match="out of range for type halfvec"):
+            Vector([1e30]).to_halfvec()
+
+    def test_sparsevec_to_halfvec_silent_overflow(self):
+        # the reference's sparsevec->halfvec applies f32_to_half with NO
+        # overflow check (sparsevec.rs:700-731): value becomes inf
+        hv = SparseVec(1, [0], [1e30]).to_halfvec()
+        assert np.isinf(hv.data[0])
+
+    def test_halfvec_to_vector_typmod(self):
+        with pytest.raises(ValueError, match="expected 4 dimensions, not 3"):
+            HalfVec([1, 2, 3]).to_vector(typmod=4)
+
+    def test_sparsevec_to_vector_dim_cap(self):
+        big = SparseVec(20000, [0], [1.0])
+        with pytest.raises(ValueError, match="more than 16000 dimensions"):
+            big.to_vector()
+
+    def test_cast_roundtrip_random(self, rng):
+        a = rng.standard_normal(64).astype(np.float32)
+        a[rng.integers(0, 64, 20)] = 0.0
+        v = Vector(a)
+        assert np.array_equal(v.to_sparsevec().to_vector().data, a)
+        hv = v.to_halfvec()
+        assert np.array_equal(
+            hv.to_sparsevec().to_halfvec().data, hv.data
+        )
