@@ -63,7 +63,10 @@ def recall_of(ids, gt):
 def build_or_load(name, builder):
     from pgvector_rx_tpu.index.hnsw import HnswIndex
 
-    path = SUITE_DIR / name
+    # key the checkpoint by scale: a smoke run (PGV_SUITE_SCALE<1) must
+    # never satisfy a later full-scale run's load, or the "1M" labels
+    # would report a 5k-row index
+    path = SUITE_DIR / (name if SCALE == 1 else f"{name}_s{SCALE:g}")
     if path.exists():
         log(f"[{name}] loading checkpoint")
         return HnswIndex.load(path), float("nan")

@@ -68,6 +68,7 @@ class ShardedHnswIndex:
         method: str = "auto",
         seed: int = 0,
         host_graph: bool = True,
+        dtype=None,
     ) -> "ShardedHnswIndex":
         """Round-robin partition + per-shard build.
 
@@ -101,6 +102,7 @@ class ShardedHnswIndex:
                         method=method,
                         seed=seed + s,
                         host_graph=host_graph,
+                        dtype=dtype,
                     )
                 )
         return cls(shards, mesh=mesh)
