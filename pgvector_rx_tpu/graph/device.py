@@ -686,6 +686,24 @@ jax.tree_util.register_pytree_node(
 # beam's bandwidth cost; overridable for benchmarking/serving tuning.
 EXACT_ENGINE_MAX_ROWS = 4_000_000
 
+#: fused Pallas binned sweep for the approx engines — EXPERIMENTAL,
+#: default OFF. Measured on TPU v5e at 1M rows (2026-08-18): dense
+#: 128-d l2 123k qps @ 0.996 vs the XLA approx_min_k route's 152-157k
+#: @ 0.998; bit(256) hamming 79k @ 0.89 vs 98.5k @ 0.98 (concentrated
+#: hamming distances make bin-collision losses worse). XLA already
+#: fuses the matmul with approx_min_k's PartialReduce well enough that
+#: the hand-rolled 3-VPU-pass bin update loses; kept behind
+#: PGV_APPROX_PALLAS=1 as a measured reference point.
+_APPROX_PALLAS = os.environ.get("PGV_APPROX_PALLAS", "0") != "0"
+
+#: cap on the padded bf16 corpus copy the pallas sweep stages (bytes);
+#: beyond it (e.g. 10M x 1024-d) fall back to the chunked XLA sweep
+_APPROX_PALLAS_MAX_BYTES = int(
+    os.environ.get("PGV_APPROX_PALLAS_MAX_BYTES", 4 << 30)
+)
+
+_PALLAS_PENALTY = 3.0e38  # matches ops/pallas_bruteforce._NEG_BIG
+
 
 #: corpus rows per chunk of the big-corpus exact sweep: bounds the
 #: [B, CH] score transient to ~1 GB at the serving chunk of 1024
@@ -757,6 +775,25 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
         if approx
         else g.values
     )
+    if (
+        approx
+        and _APPROX_PALLAS
+        and g.metric != "l1"
+        and k <= 64
+        and cap1 >= 16384
+        and jax.default_backend() == "tpu"
+        and cap1 * (-(-g.values.shape[1] // 128) * 128) * 2
+        <= _APPROX_PALLAS_MAX_BYTES
+    ):
+        # fused binned sweep: one Pallas kernel streams the bf16 corpus
+        # through VMEM with a running per-bin min (no [B, N] score
+        # matrix in HBM). Measured SLOWER than the XLA route (see
+        # _APPROX_PALLAS above) — opt-in only.
+        from ..ops.pallas_bruteforce import binned_sweep_topk
+
+        pen = jnp.where(live, 0.0, _PALLAS_PENALTY)
+        a = x2 + pen if g.metric == "l2" else pen
+        return binned_sweep_topk(vals, a, queries, k, g.metric)
     l1_needs_chunks = g.metric == "l1" and cap1 > 2048
     if cap1 <= _EXACT_SWEEP_CHUNK and not l1_needs_chunks:
         scores = _exact_scores(g, queries, vals, x2, approx)
@@ -847,6 +884,35 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False,
     B = queries.shape[0]
     cap1 = g.words.shape[0]
     nbits = g.words.shape[1] * 32
+    if (
+        approx
+        and _APPROX_PALLAS
+        and g.metric == "hamming"
+        and k <= 64
+        and cap1 >= 16384
+        and jax.default_backend() == "tpu"
+        and cap1 * nbits * 2 <= _APPROX_PALLAS_MAX_BYTES
+    ):
+        # hamming(q, x) over {0,1} vectors IS squared l2, so the fused
+        # binned sweep serves bit rows unchanged: unpack on device
+        # (bf16 rows), a = row popcount (= ||x||^2), q2 restores the
+        # query popcount; distances are exact integers in f32.
+        # Measured SLOWER and lower-recall than the XLA route on
+        # concentrated hamming distributions (see _APPROX_PALLAS) —
+        # opt-in only.
+        from ..ops.bits import unpack_words_bf16
+        from ..ops.pallas_bruteforce import binned_sweep_topk
+
+        live_b = g.traversable & (g.tid_count > 0)
+        if row_mask is not None:
+            live_b = live_b & row_mask
+        rows_bf16 = unpack_words_bf16(g.words)
+        bpop = jnp.sum(
+            jax.lax.population_count(g.words), axis=-1
+        ).astype(jnp.float32)
+        a = bpop + jnp.where(live_b, 0.0, _PALLAS_PENALTY)
+        q_bits = unpack_words_bf16(queries).astype(jnp.float32)
+        return binned_sweep_topk(rows_bf16, a, q_bits, k, "l2")
     mxu = B >= 32
     if mxu:
         # dense-sweep-sized chunks: few per-chunk top_k passes (those,
