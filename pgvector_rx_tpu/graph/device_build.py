@@ -2125,6 +2125,12 @@ def bulk_build(index, data, ids, host_graph: bool = True,
     heap_tids = [[t] for t in kept_tids]
     builder.seed_first(0)
     builder.run_all(batch_schedule(n, builder.batch_max))
+    if not host_graph:
+        # run_all dispatches are async: the device is still executing
+        # build groups here, so the finalize programs' one-time
+        # trace/compile/load (host+tunnel side, ~9.4s at 1M) rides
+        # behind build compute instead of serializing after it
+        _warm_finalize_programs(builder, kept_arr)
     _phase("run_all")
 
     # one download of the device-side duplicate-fold decisions; apply
@@ -2152,13 +2158,15 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         else:  # device-resident input: host copy only if ever needed
             index.store.bulk_load_device(vectors)
         index.heap_tids = heap_tids
+        _phase("finalize.store")
         entry = int(np.asarray(builder.arrays.entry))
         index.entry = entry if entry >= 0 else None
+        _phase("finalize.entry-sync")
         index.serving_only = True
         index._device = _device_graph_from_builder(
             index, builder, heap_tids, first_tids=kept_arr
         )
-        _phase("finalize-serving")
+        _phase("finalize.device-graph")
         return
 
     # ---- populate the host index from the device arrays
@@ -2470,6 +2478,50 @@ def bulk_insert(index, data, ids) -> int:
     return sum(1 for t in new_tids if t)
 
 
+def _emit_plan(first_tids):
+    """(device ft column, seq_base) for _emit_tables_device: sequential
+    ranges (the default ids=range(n) case) need ZERO upload (iota);
+    otherwise the [n] first-TID column uploads once and is reused."""
+    ft = np.asarray(first_tids, dtype=np.int64)
+    seq = None
+    if len(ft) and np.array_equal(
+        ft, np.arange(ft[0], ft[0] + len(ft), dtype=np.int64)
+    ):
+        seq = int(ft[0])
+    arg = (
+        jnp.zeros((1,), jnp.int32)
+        if seq is not None
+        else jnp.asarray(ft.astype(np.int32))
+    )
+    return arg, seq
+
+
+def _warm_finalize_programs(builder, first_tids) -> None:
+    """Trace/compile/load the serving-finalize programs while the
+    device is still executing the enqueued build groups. Through the
+    tunneled backend each DISTINCT program pays a multi-second one-time
+    host-side load at first dispatch (measured: 9.4s for this pair at
+    1M rows) — issuing discarded warm calls here overlaps that load
+    with build compute, and the real finalize then hits the jit cache.
+    Both programs are pure (no donation), so the extra device work is
+    a few scatter/slice kernels."""
+    ft_arg, seq = _emit_plan(first_tids)
+    builder._finalize_plan = (ft_arg, seq)
+    _emit_tables_device(
+        builder.arrays.absorb,
+        builder.arrays.tid_counts,
+        ft_arg,
+        cap1=builder.cap + 1,
+        seq_base=seq,
+    )
+    _ids_views_jit(
+        builder.arrays.nb0c,
+        builder.arrays.upc,
+        builder.lm0,
+        builder.lmax * builder.m,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cap1", "seq_base"))
 def _emit_tables_device(absorb, counts, tids_i32, cap1: int,
                         seq_base: int | None):
@@ -2498,20 +2550,12 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
         # arrays; emit_tid derives from the first-TID column — an iota
         # when the TIDs are sequential (the default ids=range(n) case,
         # zero upload), else one [n] int32 upload
-        ft = np.asarray(first_tids, dtype=np.int64)
-        seq = None
-        if len(ft) and np.array_equal(
-            ft, np.arange(ft[0], ft[0] + len(ft), dtype=np.int64)
-        ):
-            seq = int(ft[0])
+        plan = getattr(builder, "_finalize_plan", None)
+        ft_arg, seq = plan if plan is not None else _emit_plan(first_tids)
         emit_tid = _emit_tables_device(
             builder.arrays.absorb,
             builder.arrays.tid_counts,
-            (
-                jnp.zeros((1,), jnp.int32)
-                if seq is not None
-                else jnp.asarray(ft.astype(np.int32))
-            ),
+            ft_arg,
             cap1=n + 1,
             seq_base=seq,
         )
