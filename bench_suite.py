@@ -238,7 +238,19 @@ def run_sparse():
     d, ids = device_mod._exact_search_sparse(g, qp[0], qp[1], K, dim=dim)
     ids = np.asarray(ids)
     dt = time.time() - t0
-    rows_out = [("exact sweep (dense-q gather)", recall_of(ids, gt), n_q / dt)]
+    rows_out = [
+        ("exact sweep (densified-corpus MXU)", recall_of(ids, gt), n_q / dt)
+    ]
+    d, ids = device_mod._exact_search_sparse(
+        g, qp[0], qp[1], K, dim=dim, approx=True
+    )  # warm
+    t0 = time.time()
+    d, ids = device_mod._exact_search_sparse(
+        g, qp[0], qp[1], K, dim=dim, approx=True
+    )
+    ids = np.asarray(ids)
+    dt = time.time() - t0
+    rows_out.append(("approx sweep (bf16 MXU)", recall_of(ids, gt), n_q / dt))
     # graph path (host scan parity at serving scale is the device beam)
     from pgvector_rx_tpu.config import SearchParams
 

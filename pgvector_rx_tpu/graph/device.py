@@ -993,25 +993,150 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False,
     return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "dim"))
-def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
-                         dim: int = 0, row_mask=None):
-    """Exact top-k over padded-CSR sparse rows.
+#: dim <= factor * nnz-budget selects the densified-corpus MXU sweep
+#: for sparse exact/approx serving: the matmul wastes FLOPs on zeros
+#: (B*N*dim*2) but the dense-q gather formulation moves B*N*P*4 bytes
+#: through gather-rate HBM — on v5e the MXU wins while
+#: dim/P < ~1000 (f32) and far beyond that in bf16
+_SPARSE_MATMUL_FACTOR = int(os.environ.get("PGV_SPARSE_MATMUL_FACTOR", 1024))
 
-    With a known vocabulary size (`dim` > 0, up to ~1M), uses the
-    dense-query gather formulation (ops/sparse.pairwise_dense_q) —
-    ~1000x the per-pair searchsorted merge join; otherwise falls back
-    to the merge join, which works at any dimensionality (sparsevec
-    allows dim up to 10^9, sparsevec.rs:29).
+
+@functools.partial(jax.jit, static_argnames=("k", "dim", "approx"))
+def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
+                         dim: int = 0, row_mask=None, approx: bool = False):
+    """Exact (or turbo-approximate) top-k over padded-CSR sparse rows.
+
+    Formulation picked statically by vocabulary size `dim`:
+
+    - **densified-corpus MXU sweep** (dim <= _SPARSE_MATMUL_FACTOR * P,
+      metrics with a dot identity): scatter each corpus chunk dense
+      [CH, dim+1] on device and take one matmul against the densified
+      queries — all matched terms come off the MXU, no gathers. The
+      zero-padding FLOPs are cheaper than gather bytes up to dim ~ 64k
+      at the 64-nnz budget (measured: the gather formulation served
+      4.4k qps at 100k x 30k-d where this path is matmul-bound).
+      ``approx=True`` scores in bf16 + approx_min_k (the turbo recipe).
+    - **dense-query gather** (larger dim): matched query values via one
+      gather from the densified query matrix (pairwise_dense_q).
+    - **searchsorted merge join** (dim unknown or > DENSE_Q_MAX_DIM):
+      works at any dimensionality (sparsevec allows dim up to 10^9,
+      sparsevec.rs:29).
     """
     from ..ops import sparse as sparse_ops
 
+    B, P = q_indices.shape
+    live = g.traversable & (g.tid_count > 0)
+    if row_mask is not None:
+        live = live & row_mask
     # the densified query matrix is [B, dim+1]; guard its footprint
     # (B and dim are static at trace time)
     dense_q_ok = (
         0 < dim <= sparse_ops.DENSE_Q_MAX_DIM
-        and q_indices.shape[0] * (dim + 1) * 4 <= (1 << 30)
+        and B * (dim + 1) * 4 <= (1 << 30)
     )
+    use_matmul = (
+        dense_q_ok
+        and g.metric != "l1"  # no dot identity for l1
+        and dim <= _SPARSE_MATMUL_FACTOR * P
+    )
+    if use_matmul:
+        sdt = jnp.bfloat16 if approx else jnp.float32
+        qd_s = sparse_ops.densify_queries(q_indices, q_values, dim,
+                                          dtype=sdt)
+        q_sq = jnp.sum(q_values * q_values, axis=-1)  # [B]
+        N = g.sp_indices.shape[0]
+        # ~256MB densified-chunk budget (bf16 chunks are twice as wide)
+        CH = max(128, (1 << 28) // ((dim + 1) * np.dtype(sdt).itemsize))
+        if approx:
+            # selection cost, not the matmul, bounds this sweep: score
+            # sub-chunks accumulate into a WIDE window so selection is
+            # one approx_min_k PartialReduce per 16384 columns instead
+            # of a full bitonic top_k per densify chunk (ApproxTopK
+            # also cannot lower for narrow operands)
+            W = 16384
+            G = max(1, -(-W // CH))
+            CH = W // G
+        else:
+            G = 1
+            W = CH = min(CH, max(128, N))
+
+        def score_sub(args):
+            ci, cv = args  # [CH, P]
+            cd = sparse_ops.densify_queries(ci, cv, dim, dtype=sdt)
+            cvz = jnp.where(ci != _INT_MAX, cv, 0.0)
+            c_sq = jnp.sum(cvz * cvz, axis=-1)  # [CH]
+            dots = jax.lax.dot_general(
+                qd_s,
+                cd,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, CH]
+            if g.metric == "l2":
+                return jnp.maximum(
+                    q_sq[:, None] + c_sq[None, :] - 2.0 * dots, 0.0
+                )
+            if g.metric == "ip":
+                return -dots
+            denom = jnp.sqrt(q_sq[:, None] * c_sq[None, :])  # cosine
+            sim = jnp.where(
+                denom > 0.0, dots / jnp.where(denom > 0.0, denom, 1.0), 0.0
+            )
+            return 1.0 - jnp.clip(sim, -1.0, 1.0)
+
+        pad = (-N) % W
+        ci_p = jnp.pad(g.sp_indices, ((0, pad), (0, 0)),
+                       constant_values=_INT_MAX)
+        cv_p = jnp.pad(g.sp_values, ((0, pad), (0, 0)))
+        live_p = jnp.pad(live, (0, pad))
+        nw = ci_p.shape[0] // W
+        kk = min(k, W)
+
+        def window(args):
+            ci_w, cv_w, live_w, off = args  # [W, P], [W], scalar
+            if G > 1:
+                # unrolled (G is small and static): concatenation along
+                # columns fuses into the [B, W] buffer without the
+                # [G, B, CH] transpose a lax.map would force
+                s = jnp.concatenate(
+                    [
+                        score_sub(
+                            (
+                                jax.lax.dynamic_slice_in_dim(ci_w, i * CH, CH),
+                                jax.lax.dynamic_slice_in_dim(cv_w, i * CH, CH),
+                            )
+                        )
+                        for i in range(G)
+                    ],
+                    axis=1,
+                )
+            else:
+                s = score_sub((ci_w, cv_w))
+            s = jnp.where(live_w[None, :], s, jnp.inf)
+            if approx and W >= 16384:
+                d_c, i_c = jax.lax.approx_min_k(s, kk, recall_target=0.98)
+            else:
+                neg, i_c = jax.lax.top_k(-s, kk)
+                d_c = -neg
+            return d_c, jnp.where(jnp.isfinite(d_c), i_c + off, -1)
+
+        offs = jnp.arange(nw, dtype=jnp.int32) * W
+        if nw > 1:
+            d_all, i_all = jax.lax.map(
+                window,
+                (
+                    ci_p.reshape(nw, W, P),
+                    cv_p.reshape(nw, W, P),
+                    live_p.reshape(nw, W),
+                    offs,
+                ),
+            )  # [nw, B, kk]
+            flat_d = jnp.moveaxis(d_all, 0, 1).reshape(B, -1)
+            flat_i = jnp.moveaxis(i_all, 0, 1).reshape(B, -1)
+            sd, si = jax.lax.sort([flat_d, flat_i], num_keys=1)
+            d = sd[:, :k]
+            return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
+        d, ids = window((ci_p, cv_p, live_p, jnp.int32(0)))
+        return d[:, :k], ids[:, :k]
     if dense_q_ok:
         scores = sparse_ops.pairwise_dense_q(
             g.metric, dim, g.sp_indices, g.sp_values, q_indices, q_values
@@ -1020,9 +1145,6 @@ def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
         scores = sparse_ops.pairwise(
             g.metric, g.sp_indices, g.sp_values, q_indices, q_values
         )  # [B, cap+1]
-    live = g.traversable & (g.tid_count > 0)
-    if row_mask is not None:
-        live = live & row_mask
     scores = jnp.where(live[None, :], scores, jnp.inf)
     neg_d, ids = jax.lax.top_k(-scores, k)
     d = -neg_d
@@ -1263,7 +1385,7 @@ def search(index, qlist, k: int, params, engine: str = "auto",
         else:
             beam_d, beam_ids = _exact_search_sparse(
                 g, queries[0], queries[1], max(k, 1), dim=index.dim,
-                row_mask=row_mask,
+                row_mask=row_mask, approx=engine == "approx",
             )
     elif index.kind == "sparse":
         qtuple = queries

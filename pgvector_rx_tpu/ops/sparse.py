@@ -83,18 +83,38 @@ def _terms(metric, qi, qv, ci, cv, q_sq, c_sq, q_abs, c_abs):
 DENSE_Q_MAX_DIM = int(os.environ.get("PGV_SPARSE_DENSEQ_MAX", 1 << 20))
 
 
-def densify_queries(query_indices, query_values, dim: int):
-    """Scatter padded-CSR queries into a dense [B, dim+1] matrix.
+def densify_queries(query_indices, query_values, dim: int,
+                    dtype=jnp.float32):
+    """Scatter padded-CSR rows into a dense [B, dim+P] matrix.
 
-    Column `dim` is a dummy slot that PAD_INDEX entries clamp to (its
-    value stays 0, so padded positions contribute nothing downstream).
+    Columns dim..dim+P-1 are dummy slots that stay 0: the p-th
+    PAD_INDEX entry of a row scatters (a zero) into column dim+p, so
+    every row's P flat indices are STRICTLY SORTED AND UNIQUE (CSR
+    indices are validated sorted-unique; pads occupy the row tail).
+    That unlocks XLA's fast scatter path — the generic
+    maybe-duplicate scatter was the measured bound of the densified
+    sparse sweep (0.2s per 96k rows at 30k-d on v5e, more than the
+    MXU matmul it feeds). Downstream contracts: any column >= dim
+    reads 0, and gathers clip pads to a zero column, so all dot/term
+    math is unchanged. ``dtype`` scatters directly at the target
+    precision (bf16 for the approx sweep) — no separate cast pass.
     """
     B, P = query_indices.shape
-    qi = jnp.clip(query_indices, 0, dim)
-    qv = jnp.where(query_indices != PAD_INDEX, query_values, 0.0)
-    qd = jnp.zeros((B, dim + 1), jnp.float32)
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, P))
-    return qd.at[rows, qi].set(qv).at[:, dim].set(0.0)
+    valid = query_indices != PAD_INDEX
+    qi = jnp.where(
+        valid,
+        jnp.clip(query_indices, 0, dim - 1),
+        dim + jnp.arange(P, dtype=jnp.int32)[None, :],
+    )
+    qv = jnp.where(valid, query_values, 0.0).astype(dtype)
+    width = dim + P
+    # guarded by callers' footprint checks: B*width stays < 2^31
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    flat = jnp.zeros((B * width,), dtype)
+    flat = flat.at[(rows * width + qi).reshape(-1)].set(
+        qv.reshape(-1), indices_are_sorted=True, unique_indices=True
+    )
+    return flat.reshape(B, width)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "dim"))

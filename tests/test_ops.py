@@ -178,3 +178,74 @@ class TestSparseDenseQ:
         assert np.allclose(ref, got, atol=1e-4), (
             np.abs(ref - got).max()
         )
+
+
+class TestSparseMatmulSweep:
+    """Densified-corpus MXU formulation of the sparse exact sweep
+    (device.py _exact_search_sparse) must match the merge-join scores."""
+
+    def _graph(self, rng, n, dim, P):
+        import jax.numpy as jnp
+
+        from pgvector_rx_tpu.graph.device import DeviceGraph
+
+        si = np.full((n + 1, P), np.int32(2**31 - 1), np.int32)
+        sv = np.zeros((n + 1, P), np.float32)
+        for i in range(n):
+            nz = rng.integers(1, P + 1)
+            idx = np.sort(rng.choice(dim, size=nz, replace=False))
+            si[i, :nz] = idx
+            sv[i, :nz] = rng.random(nz).astype(np.float32) + 0.1
+        return DeviceGraph(
+            kind="sparse", metric="l2", cap=n, m=16, entry=0, entry_level=0,
+            neighbors0=jnp.full((n + 1, 32), -1, jnp.int32),
+            upper_neighbors=jnp.full((1, 16), -1, jnp.int32),
+            upper_slot=jnp.full(n + 1, -1, jnp.int32),
+            levels=jnp.zeros(n + 1, jnp.int32),
+            traversable=jnp.ones(n + 1, bool).at[n].set(False),
+            emit_tid=jnp.arange(n + 1, dtype=jnp.int32),
+            tid_count=jnp.ones(n + 1, jnp.int32),
+            sp_indices=jnp.asarray(si), sp_values=jnp.asarray(sv),
+        ), si, sv
+
+    def test_matmul_matches_merge_join(self, rng):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from pgvector_rx_tpu.graph import device as dev
+        from pgvector_rx_tpu.ops import sparse as sparse_ops
+
+        n, dim, P, B, k = 500, 300, 8, 6, 5
+        for metric in ("l2", "ip", "cosine"):
+            g, si, sv = self._graph(rng, n, dim, P)
+            g = dataclasses.replace(g, metric=metric)
+            qi = jnp.asarray(si[:B])
+            qv = jnp.asarray(sv[:B])
+            # dim <= factor*P -> matmul formulation
+            d, ids = dev._exact_search_sparse(g, qi, qv, k, dim=dim)
+            ref = np.array(
+                sparse_ops.pairwise(metric, g.sp_indices, g.sp_values, qi, qv)
+            )
+            ref[:, n:] = np.inf  # sentinel row masked
+            gt_d = np.sort(ref, axis=1)[:, :k]
+            np.testing.assert_allclose(np.asarray(d), gt_d, rtol=1e-4,
+                                       atol=1e-5)
+
+    def test_approx_variant_recall(self, rng):
+        import jax.numpy as jnp
+
+        from pgvector_rx_tpu.graph import device as dev
+
+        n, dim, P, B, k = 800, 300, 8, 6, 5
+        g, si, sv = self._graph(rng, n, dim, P)
+        qi = jnp.asarray(si[:B])
+        qv = jnp.asarray(sv[:B])
+        d_e, ids_e = dev._exact_search_sparse(g, qi, qv, k, dim=dim)
+        d_a, ids_a = dev._exact_search_sparse(g, qi, qv, k, dim=dim,
+                                              approx=True)
+        ids_e, ids_a = np.asarray(ids_e), np.asarray(ids_a)
+        rec = np.mean(
+            [len(set(ids_a[b]) & set(ids_e[b])) / k for b in range(B)]
+        )
+        assert rec >= 0.8, rec
