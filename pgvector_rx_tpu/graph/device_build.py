@@ -2079,6 +2079,36 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         n = len(vectors)
         if n == 0:
             return
+    elif index.kind == "bit":
+        if index.metric != "hamming":
+            raise ValueError(
+                "device build supports bit indexes with the hamming "
+                "metric only (jaccard has no l2 identity); use "
+                "method='native'"
+            )
+        # hamming(q, x) over {0,1} vectors IS squared l2: unpack the
+        # packed rows to f32 bit columns and run the dense l2 build
+        # machinery unchanged — candidate scoring, Alg-4 pruning and
+        # duplicate folding (f32 row equality <=> the reference's byte
+        # equality, build.rs:480-482) are all exact, since hamming
+        # distances are small integers
+        if _is_device_array(data):
+            data = np.asarray(data)  # bit rows prepare on host (packbits)
+        prepared = []
+        kept_tids = []
+        for value, tid in zip(data, ids):
+            p = index.prepare_value(value)
+            if p is None:
+                continue
+            prepared.append(p)
+            kept_tids.append(int(tid))
+        n = len(prepared)
+        if n == 0:
+            return
+        bit_packed = np.stack(prepared)  # [n, nbytes] uint8
+        vectors = np.unpackbits(bit_packed, axis=1)[:, : index.dim].astype(
+            np.float32
+        )
     else:
         prepared = []
         kept_tids = []
@@ -2097,7 +2127,7 @@ def bulk_build(index, data, ids, host_graph: bool = True,
     _phase("levels")
 
     builder = DeviceBuilder(
-        index.metric,
+        "l2" if index.kind == "bit" else index.metric,
         vectors,
         levels,
         index.params.m,
@@ -2130,7 +2160,11 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         # build groups here, so the finalize programs' one-time
         # trace/compile/load (host+tunnel side, ~9.4s at 1M) rides
         # behind build compute instead of serializing after it
-        _warm_finalize_programs(builder, kept_arr)
+        _warm_finalize_programs(
+            builder,
+            kept_arr,
+            bit_w=(index.dim + 31) // 32 if index.kind == "bit" else 0,
+        )
     _phase("run_all")
 
     # one download of the device-side duplicate-fold decisions; apply
@@ -2149,7 +2183,9 @@ def bulk_build(index, data, ids, host_graph: bool = True,
     if not host_graph:
         # serving-only: bulk-load the store, keep TIDs, and hand the
         # index a DeviceGraph built straight from the builder arrays
-        if isinstance(vectors, np.ndarray):
+        if index.kind == "bit":
+            index.store.bulk_load(bit_packed)
+        elif isinstance(vectors, np.ndarray):
             index.store.bulk_load(vectors.astype(store_dtype))
         elif consume_input:
             # the input buffer was freed; back the store with the
@@ -2197,7 +2233,11 @@ def bulk_build(index, data, ids, host_graph: bool = True,
                     if v >= 0
                 ]
         index.elements.append(e)
-        index.store.append(vectors[i].astype(store_dtype))
+        index.store.append(
+            bit_packed[i]
+            if index.kind == "bit"
+            else vectors[i].astype(store_dtype)
+        )
         index.heap_tids.append(heap_tids[i])
 
     entry = int(np.asarray(builder.arrays.entry))
@@ -2478,6 +2518,24 @@ def bulk_insert(index, data, ids) -> int:
     return sum(1 for t in new_tids if t)
 
 
+@functools.partial(jax.jit, static_argnames=("w",))
+def _pack_words_device(vectors, w: int):
+    """[n1, D] f32 0/1 rows -> [n1, w] uint32 words, MSB-first within
+    each word (the ops/bits.pack_bits layout). Runs on device so a
+    bit-index build never re-uploads its rows for the serving graph."""
+    n1, d = vectors.shape
+    pad = w * 32 - d
+    b = (vectors > 0.5).astype(jnp.uint32)
+    if pad:
+        b = jnp.pad(b, ((0, 0), (0, pad)))
+    shifts = 31 - jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(
+        b.reshape(n1, w, 32) << shifts[None, None, :],
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+
+
 def _emit_plan(first_tids):
     """(device ft column, seq_base) for _emit_tables_device: sequential
     ranges (the default ids=range(n) case) need ZERO upload (iota);
@@ -2496,7 +2554,7 @@ def _emit_plan(first_tids):
     return arg, seq
 
 
-def _warm_finalize_programs(builder, first_tids) -> None:
+def _warm_finalize_programs(builder, first_tids, bit_w: int = 0) -> None:
     """Trace/compile/load the serving-finalize programs while the
     device is still executing the enqueued build groups. Through the
     tunneled backend each DISTINCT program pays a multi-second one-time
@@ -2520,6 +2578,8 @@ def _warm_finalize_programs(builder, first_tids) -> None:
         builder.lm0,
         builder.lmax * builder.m,
     )
+    if bit_w:
+        _pack_words_device(builder.vectors, w=bit_w)
 
 
 @functools.partial(jax.jit, static_argnames=("cap1", "seq_base"))
@@ -2575,6 +2635,21 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
         builder.lm0,
         builder.lmax * builder.m,
     )
+    if index.kind == "bit":
+        # the builder worked on unpacked {0,1} f32 rows (hamming == l2);
+        # the serving graph wants packed words — pack on device, no
+        # host round-trip
+        value_kwargs = dict(
+            words=_pack_words_device(
+                builder.vectors, w=(index.dim + 31) // 32
+            )
+        )
+    else:
+        value_kwargs = dict(
+            values=builder.vectors,
+            x2=builder.data.x2,
+            values_bf16=builder.data.vectors_bf16,
+        )
     return DeviceGraph(
         kind=index.kind,
         metric=index.metric,
@@ -2589,7 +2664,5 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
         traversable=builder.arrays.alive,
         emit_tid=jnp.asarray(emit_tid),
         tid_count=jnp.asarray(tid_count),
-        values=builder.vectors,
-        x2=builder.data.x2,
-        values_bf16=builder.data.vectors_bf16,
+        **value_kwargs,
     )

@@ -423,8 +423,20 @@ class HnswIndex:
         if method == "auto":
             if kind == "dense" and n >= 20000:
                 method = "device"
+            elif (
+                kind == "bit"
+                and metric == "hamming"
+                and n >= 20000
+                and n * dim * 4 <= (6 << 30)  # unpacked f32 build rows
+            ):
+                # hamming == squared l2 over {0,1} vectors, so the bit
+                # build rides the dense device builder on unpacked rows
+                # (exact distances; duplicate row-equality == the
+                # reference's byte equality). Jaccard has no such
+                # identity and stays on the native engine.
+                method = "device"
             else:
-                # bit/sparse and small dense builds: native C++ engine
+                # jaccard/sparse and small builds: native C++ engine
                 # (same algorithms/semantics as the host engine, ~100x)
                 from .. import native
 

@@ -340,8 +340,12 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto",
     }.get(method)
     use_device = method in ("device", "exact", "approx") or (
         method == "auto"
-        and index.kind == "dense"
-        and (len(qlist) >= 32 or index.serving_only)
+        and (
+            (index.kind == "dense" and (len(qlist) >= 32 or index.serving_only))
+            # serving-only non-dense indexes (device bit build) have no
+            # host elements — the device engines are the only path
+            or (index.kind != "dense" and index.serving_only)
+        )
     )
     if use_device:
         from ..graph import device as device_mod

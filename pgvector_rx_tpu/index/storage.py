@@ -335,9 +335,25 @@ def _load_serving(meta, path: Path):
         if tids:
             emit_tid[i] = tids[0]
         toff += cnt
-    values = np.zeros((n + 1, meta["dim"]), dtype=np.float32)
-    values[:n] = z["rows"].astype(np.float32)
-    v = jnp.asarray(values)
+    if meta["kind"] == "bit":
+        # packed byte rows -> uint32 words for the device bit engines
+        from ..ops.bits import pack_bits
+
+        bits = np.unpackbits(z["rows"], axis=1)[:, : meta["dim"]]
+        w = (meta["dim"] + 31) // 32
+        words = np.zeros((n + 1, w), dtype=np.uint32)
+        if n:
+            words[:n] = pack_bits(bits)
+        value_kwargs = dict(words=jnp.asarray(words))
+    else:
+        values = np.zeros((n + 1, meta["dim"]), dtype=np.float32)
+        values[:n] = z["rows"].astype(np.float32)
+        v = jnp.asarray(values)
+        value_kwargs = dict(
+            values=v,
+            x2=jnp.sum(v * v, axis=1),
+            values_bf16=v.astype(jnp.bfloat16),
+        )
     index.serving_only = True
     index.entry = int(meta["entry"]) if int(meta["entry"]) >= 0 else None
     index._device = DeviceGraph(
@@ -357,9 +373,7 @@ def _load_serving(meta, path: Path):
         traversable=jnp.asarray(z["traversable"]),
         emit_tid=jnp.asarray(emit_tid),
         tid_count=jnp.asarray(tid_count),
-        values=v,
-        x2=jnp.sum(v * v, axis=1),
-        values_bf16=v.astype(jnp.bfloat16),
+        **value_kwargs,
     )
     index.stats.update(meta.get("stats", {}))
     return index

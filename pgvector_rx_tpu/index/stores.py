@@ -177,6 +177,12 @@ class BitStore:
         self.count += 1
         return idx
 
+    def bulk_load(self, rows: np.ndarray) -> None:
+        """Adopt a whole [n, nbytes] packed matrix (device bulk build)."""
+        assert self.count == 0
+        self.rows = np.ascontiguousarray(rows, dtype=np.uint8)
+        self.count = rows.shape[0]
+
     def overwrite(self, idx: int, value) -> None:
         self.rows[idx] = value
 

@@ -345,3 +345,95 @@ def test_device_build_odd_m_recall():
     gt = brute_force(data, q, "l2", 10)
     _, ids = idx.search(q, 10, SearchParams(ef_search=60), method="host")
     assert recall_at_k(ids, gt, 10) >= 0.9
+
+
+class TestBitDeviceBuild:
+    """Bit-hamming rides the dense device builder on unpacked {0,1}
+    rows (hamming == squared l2); the serving graph packs back to
+    words on device."""
+
+    @staticmethod
+    def _data(rng, n, nbits):
+        return (rng.random((n, nbits)) < 0.5).astype(np.uint8)
+
+    def test_build_recall_and_store(self, rng):
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        bits = self._data(rng, 600, 64)
+        idx = HnswIndex.build(bits, metric="hamming", method="device",
+                              seed=3)
+        assert idx.kind == "bit"
+        assert idx.store.rows.dtype == np.uint8
+        assert idx.store.rows.shape[1] == 8  # packed bytes
+        # exact engine over the device graph: recall 1.0 vs numpy GT
+        q = bits[:20]
+        d, tids = idx.search(q, 10, SearchParams(ef_search=40),
+                             method="device")
+        ham = (q[:, None, :] != bits[None, :, :]).sum(-1)
+        gt_d = np.sort(ham, axis=1)[:, :10]
+        np.testing.assert_allclose(d, gt_d, atol=1e-6)
+        # beam engine walks the built graph
+        from pgvector_rx_tpu.graph import device as dev
+
+        d_b, tids_b = dev.search(idx, q, 10, SearchParams(ef_search=40),
+                                 engine="beam")
+        rec = np.mean([
+            len(set(tids_b[b]) & set(np.argsort(ham[b],
+                kind="stable")[:10])) / 10
+            for b in range(20)
+        ])
+        assert rec >= 0.8, rec
+
+    def test_duplicate_folding_caps_at_10(self, rng):
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        row = (rng.random(64) < 0.5).astype(np.uint8)
+        bits = np.concatenate(
+            [np.tile(row, (25, 1)), self._data(rng, 200, 64)]
+        )
+        idx = HnswIndex.build(bits, metric="hamming", method="device",
+                              seed=3, host_graph=False)
+        counts = sorted(
+            (len(t) for t in idx.heap_tids if t), reverse=True
+        )
+        # 25 identical rows -> one 10-TID element + spill elements
+        assert counts[0] == 10
+        assert sum(c for c in counts if c) == 225
+
+    def test_host_graph_build_supports_mutation(self, rng):
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        bits = self._data(rng, 300, 32)
+        idx = HnswIndex.build(bits, metric="hamming", method="device",
+                              seed=3, host_graph=True)
+        assert len(idx.elements) > 0
+        n0 = idx.num_tuples
+        idx.insert((rng.random(32) < 0.5).astype(np.uint8), tid=10_000)
+        assert idx.num_tuples == n0 + 1
+        assert idx.delete([0]) == 1
+        idx.vacuum()
+
+    def test_serving_only_save_load_equivalence(self, rng, tmp_path):
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        bits = self._data(rng, 400, 64)
+        idx = HnswIndex.build(bits, metric="hamming", method="device",
+                              seed=3, host_graph=False)
+        idx.save(tmp_path / "bitidx")
+        idx2 = HnswIndex.load(tmp_path / "bitidx")
+        q = bits[:8]
+        d1, t1 = idx.search(q, 5, SearchParams())
+        d2, t2 = idx2.search(q, 5, SearchParams())
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_allclose(d1, d2)
+
+    def test_jaccard_device_build_rejected(self, rng):
+        import pytest
+
+        from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+        bits = self._data(rng, 100, 32)
+        with pytest.raises(ValueError, match="hamming"):
+            HnswIndex.build(bits, metric="jaccard", method="device")
