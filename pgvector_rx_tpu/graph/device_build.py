@@ -351,14 +351,33 @@ class BuildData(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _l2_to_jaccard(h, sq_a, sq_b):
+    """{0,1}-row squared-l2 -> jaccard distance (builder metric
+    "jacbits").
+
+    For binary rows a, b: |a XOR b| = l2²(a,b) = h, popcounts
+    aa = ||a||², bb = ||b||², intersection = (aa+bb-h)/2, union =
+    (aa+bb+h)/2, so jaccard = 1 - inter/union = 2h / (aa+bb+h).
+    Both-zero rows (denominator 0) are distance 1.0, matching the
+    reference's ab == 0 rule (bitvec.rs:113-132). All terms are exact
+    small integers in f32, so the transform is exact.
+    """
+    denom = sq_a + sq_b + h
+    return jnp.where(
+        denom > 0.0, 2.0 * h / jnp.where(denom > 0.0, denom, 1.0), 1.0
+    )
+
+
 def _pair_matrix(metric: str, rows):
     """All-pairs order distances among rows [..., C, D] -> [..., C, C].
 
     l2 uses the matmul identity ||a-b||^2 = ||a||^2+||b||^2-2ab so the
     MXU does the work instead of materializing a [..., C, C, D]
     difference tensor (which is memory-bound and HBM-hungry).
+    "jacbits" (jaccard over unpacked {0,1} rows — the bit device
+    build) derives from the same identity via _l2_to_jaccard.
     """
-    if metric == "l2":
+    if metric in ("l2", "jacbits"):
         dots = jnp.einsum(
             "...id,...jd->...ij", rows, rows,
             preferred_element_type=jnp.float32,
@@ -366,9 +385,12 @@ def _pair_matrix(metric: str, rows):
         sq = jnp.sum(
             rows.astype(jnp.float32) * rows.astype(jnp.float32), axis=-1
         )
-        return jnp.maximum(
+        h = jnp.maximum(
             sq[..., :, None] + sq[..., None, :] - 2.0 * dots, 0.0
         )
+        if metric == "jacbits":
+            return _l2_to_jaccard(h, sq[..., :, None], sq[..., None, :])
+        return h
     if metric == "ip":
         return -jnp.einsum(
             "...id,...jd->...ij", rows, rows,
@@ -768,16 +790,19 @@ class DeviceBuilder:
         vectors = data.vectors if vectors is None else vectors
         x2 = data.x2 if x2 is None else x2
         n_rows = vectors.shape[0]
-        if self.metric in ("l2", "ip", "cosine"):
+        if self.metric in ("l2", "ip", "cosine", "jacbits"):
             dots = jax.lax.dot_general(
                 q_rows,
                 vectors,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [B, n_rows]
-            if self.metric == "l2":
+            if self.metric in ("l2", "jacbits"):
                 q2 = jnp.sum(q_rows * q_rows, axis=1, keepdims=True)
-                return jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
+                h = jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
+                if self.metric == "jacbits":
+                    return _l2_to_jaccard(h, q2, x2[None, :])
+                return h
             if self.metric == "ip":
                 return -dots
             return 1.0 - jnp.clip(dots, -1.0, 1.0)
@@ -841,9 +866,15 @@ class DeviceBuilder:
         cap = self.cap
 
         def dist_to(q, rows_f32):
-            if self.metric == "l2":
+            if self.metric in ("l2", "jacbits"):
                 dlt = rows_f32 - q
-                return jnp.sum(dlt * dlt, axis=-1)
+                h = jnp.sum(dlt * dlt, axis=-1)
+                if self.metric == "jacbits":
+                    # {0,1} rows: popcount == sum (exact in f32/bf16)
+                    return _l2_to_jaccard(
+                        h, jnp.sum(q), jnp.sum(rows_f32, axis=-1)
+                    )
+                return h
             if self.metric == "l1":
                 return jnp.sum(jnp.abs(rows_f32 - q), axis=-1)
             dots = jnp.sum(rows_f32 * q, axis=-1)
@@ -1294,6 +1325,12 @@ class DeviceBuilder:
         if self.metric == "ip":
             qz = data.x2[jnp.clip(new_ids, 0, dump)] == 0.0  # [B]
             zero = zero & qz[:, None]
+        elif self.metric == "jacbits":
+            # byte-equal ZERO bit rows have jaccard distance 1.0, not 0
+            # (bitvec.rs ab == 0 rule), so the reference's zero-distance
+            # fold never fires for them — require a nonzero row here
+            qnz = data.x2[jnp.clip(new_ids, 0, dump)] > 0.0  # [B]
+            zero = zero & qnz[:, None]
         cand_rows = data.vectors[jnp.clip(cand, 0, dump)]  # [B, lm0, D]
         eq = jnp.all(cand_rows == q_rows[:, None, :], axis=-1) & zero
         tc = arrays.tid_counts[jnp.clip(cand, 0, dump)]
@@ -2080,18 +2117,14 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         if n == 0:
             return
     elif index.kind == "bit":
-        if index.metric != "hamming":
-            raise ValueError(
-                "device build supports bit indexes with the hamming "
-                "metric only (jaccard has no l2 identity); use "
-                "method='native'"
-            )
         # hamming(q, x) over {0,1} vectors IS squared l2: unpack the
         # packed rows to f32 bit columns and run the dense l2 build
         # machinery unchanged — candidate scoring, Alg-4 pruning and
         # duplicate folding (f32 row equality <=> the reference's byte
         # equality, build.rs:480-482) are all exact, since hamming
-        # distances are small integers
+        # distances are small integers. jaccard derives from the same
+        # identity (builder metric "jacbits": jac = 2·l2² /
+        # (qpop + rowpop + l2²), see _l2_to_jaccard) — also exact.
         if _is_device_array(data):
             data = np.asarray(data)  # bit rows prepare on host (packbits)
         prepared = []
@@ -2127,7 +2160,11 @@ def bulk_build(index, data, ids, host_graph: bool = True,
     _phase("levels")
 
     builder = DeviceBuilder(
-        "l2" if index.kind == "bit" else index.metric,
+        (
+            ("l2" if index.metric == "hamming" else "jacbits")
+            if index.kind == "bit"
+            else index.metric
+        ),
         vectors,
         levels,
         index.params.m,

@@ -425,15 +425,15 @@ class HnswIndex:
                 method = "device"
             elif (
                 kind == "bit"
-                and metric == "hamming"
                 and n >= 20000
                 and n * dim * 4 <= (6 << 30)  # unpacked f32 build rows
             ):
                 # hamming == squared l2 over {0,1} vectors, so the bit
                 # build rides the dense device builder on unpacked rows
                 # (exact distances; duplicate row-equality == the
-                # reference's byte equality). Jaccard has no such
-                # identity and stays on the native engine.
+                # reference's byte equality). jaccard derives from the
+                # same identity (jac = 2·l2²/(qpop+rowpop+l2²), builder
+                # metric "jacbits") — also exact.
                 method = "device"
             else:
                 # jaccard/sparse and small builds: native C++ engine

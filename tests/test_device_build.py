@@ -429,11 +429,35 @@ class TestBitDeviceBuild:
         np.testing.assert_array_equal(t1, t2)
         np.testing.assert_allclose(d1, d2)
 
-    def test_jaccard_device_build_rejected(self, rng):
-        import pytest
-
+    def test_jaccard_device_build(self, rng):
+        """Jaccard rides the dense builder too: jac = 2·l2²/(qpop+
+        rowpop+l2²) over unpacked {0,1} rows (device_build._l2_to_jaccard),
+        exact in f32. Exact engine matches numpy GT distances; the beam
+        walks a graph built under true jaccard ordering."""
+        from pgvector_rx_tpu.config import SearchParams
+        from pgvector_rx_tpu.graph import device as dev
         from pgvector_rx_tpu.index.hnsw import HnswIndex
 
-        bits = self._data(rng, 100, 32)
-        with pytest.raises(ValueError, match="hamming"):
-            HnswIndex.build(bits, metric="jaccard", method="device")
+        bits = self._data(rng, 600, 64)
+        bits[0] = 0  # zero row: jaccard 1.0 to everything incl. itself
+        bits[1] = 0  # identical zero rows must NOT duplicate-fold
+        idx = HnswIndex.build(bits, metric="jaccard", method="device",
+                              seed=3)
+        assert idx.kind == "bit"
+        assert all(len(t) == 1 for t in idx.heap_tids[:2])
+        q = bits[2:22]
+        inter = (q[:, None, :] & bits[None, :, :]).sum(-1)
+        union = (q[:, None, :] | bits[None, :, :]).sum(-1)
+        jac = np.where(inter == 0, 1.0, 1.0 - inter / np.maximum(union, 1))
+        d, tids = idx.search(q, 10, SearchParams(ef_search=40),
+                             method="device")
+        gt_d = np.sort(jac, axis=1)[:, :10]
+        np.testing.assert_allclose(d, gt_d, atol=1e-6)
+        d_b, tids_b = dev.search(idx, q, 10, SearchParams(ef_search=40),
+                                 engine="beam")
+        rec = np.mean([
+            len(set(tids_b[b]) & set(np.argsort(jac[b],
+                kind="stable")[:10])) / 10
+            for b in range(20)
+        ])
+        assert rec >= 0.8, rec
