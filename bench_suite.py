@@ -183,28 +183,40 @@ def run_bit_256():
     dense, dq = make_dataset(n, nbits, n_q, seed=7, intrinsic=24)
     bits = (dense > 0).astype(np.uint8)
     qbits = (dq > 0).astype(np.uint8)
-    index, build_s = build_or_load(
-        "bit256_1m_hamming",
-        lambda: HnswIndex.build(bits, metric="hamming", seed=1),
-    )
-    g = index.device_graph()
+    from pgvector_rx_tpu.config import SearchParams
     from pgvector_rx_tpu.ops.bits import pack_bits
 
     qwords = jnp.asarray(pack_bits(qbits))
-    # exact MXU bit sweep (unpack + matmul; the serving engine for bit)
-    d, gt_ids = device_mod._exact_search_bits(g, qwords, K)
-    gt = np.asarray(gt_ids)
-    rows = []
-    for engine, approx in (("exact MXU sweep", False),
-                           ("approx (approx_min_k select)", True)):
-        d, ids = device_mod._exact_search_bits(g, qwords, K, approx=approx)
-        np.asarray(ids)  # warm compile
+    for metric in ("hamming", "jaccard"):
+        index, build_s = build_or_load(
+            f"bit256_1m_{metric}",
+            lambda: HnswIndex.build(bits, metric=metric, seed=1),
+        )
+        g = index.device_graph()
+        # exact MXU bit sweep (unpack + matmul; the serving engine for bit)
+        d, gt_ids = device_mod._exact_search_bits(g, qwords, K)
+        gt = np.asarray(gt_ids)
+        rows = []
+        for engine, approx in (("exact MXU sweep", False),
+                               ("approx (approx_min_k select)", True)):
+            d, ids = device_mod._exact_search_bits(g, qwords, K, approx=approx)
+            np.asarray(ids)  # warm compile
+            t0 = time.time()
+            d, ids = device_mod._exact_search_bits(g, qwords, K, approx=approx)
+            ids = np.asarray(ids)
+            dt = time.time() - t0
+            rows.append((engine, recall_of(ids, gt), n_q / dt))
+        # HNSW beam over the (device-built) bit graph
+        nq_b = min(n_q, 1024)
+        params = SearchParams(ef_search=40)
+        index.search(qbits[:nq_b], K, params, method="device")  # warm
         t0 = time.time()
-        d, ids = device_mod._exact_search_bits(g, qwords, K, approx=approx)
-        ids = np.asarray(ids)
+        d, tids = index.search(qbits[:nq_b], K, params, method="device")
         dt = time.time() - t0
-        rows.append((engine, recall_of(ids, gt), n_q / dt))
-    emit("bit(256) hamming, 1M (BASELINE config 4a)", rows, build_s, n)
+        rows.append(
+            ("beam(ef=40)", recall_of(np.asarray(tids), gt[:nq_b]), nq_b / dt)
+        )
+        emit(f"bit(256) {metric}, 1M (BASELINE config 4a)", rows, build_s, n)
 
 
 def run_sparse():

@@ -433,18 +433,19 @@ def _ground_beam_seeds(
     Returns (beam_d [ef], beam_ids [ef]) sorted nearest first + steps.
     """
     use_visited = (g.cap + 1) <= _VISITED_MAX_ROWS
+    # packed beam key = id*2 + (1 - expanded), invalid slot = -2: one
+    # int32 instead of separate id/expanded arrays, so both per-step
+    # merge sorts are 2 operands instead of 3 (same trick as the build
+    # descent beam, device_build._beam_ground_candidates — the sorts
+    # are the measured hot spot of the loop). Needs id*2+1 < 2^31.
+    assert g.cap < (1 << 30), "packed beam keys need cap < 2^30 rows"
     S = seed_ids.shape[0]
     ok = seed_ids >= 0
     seed_d = jnp.where(ok, seed_d, jnp.inf)
     beam_d = jnp.full((ef,), jnp.inf, dtype=jnp.float32).at[:S].set(seed_d)
-    beam_ids = jnp.full((ef,), -1, dtype=jnp.int32).at[:S].set(
-        jnp.where(ok, seed_ids, -1)
+    beam_key = jnp.full((ef,), -2, dtype=jnp.int32).at[:S].set(
+        jnp.where(ok, seed_ids * 2 + 1, -2)
     )
-    beam_exp = (
-        jnp.ones((ef,), dtype=jnp.int32)
-        .at[:S]
-        .set(jnp.where(ok, 0, 1))
-    )  # 1 = expanded/pad
     if use_visited:
         visited = jnp.zeros((g.cap + 1,), dtype=jnp.bool_).at[
             jnp.where(ok, seed_ids, g.cap)
@@ -453,23 +454,25 @@ def _ground_beam_seeds(
         visited = jnp.zeros((1,), dtype=jnp.bool_)  # unused placeholder
 
     def cond(state):
-        beam_d, beam_ids, beam_exp, visited, steps = state
-        unexp_d = jnp.where(beam_exp == 1, jnp.inf, beam_d)
+        beam_d, beam_key, visited, steps = state
+        unexp_d = jnp.where(beam_key & 1 == 1, beam_d, jnp.inf)
         best = jnp.min(unexp_d)
         furthest = jnp.max(beam_d)  # inf while not full -> keep going
         return (best <= furthest) & jnp.isfinite(best) & (steps < max_steps)
 
     def body(state):
-        beam_d, beam_ids, beam_exp, visited, steps = state
-        unexp_d = jnp.where(beam_exp == 1, jnp.inf, beam_d)
+        beam_d, beam_key, visited, steps = state
+        unexp_d = jnp.where(beam_key & 1 == 1, beam_d, jnp.inf)
         if expand == 1:
             pos = jnp.argmin(unexp_d)[None]  # [1]
         else:
             _, pos = jax.lax.top_k(-unexp_d, expand)  # [E] best unexpanded
-        u = beam_ids[pos]  # [E]
         # only expand slots that are genuinely unexpanded & valid
         sel_valid = jnp.isfinite(unexp_d[pos])
-        beam_exp = beam_exp.at[pos].set(1)
+        u = jnp.where(sel_valid, beam_key[pos] >> 1, -1)  # [E]
+        beam_key = beam_key.at[pos].set(
+            jnp.where(sel_valid, beam_key[pos] & ~1, beam_key[pos])
+        )
 
         nbrs = g.neighbors0[jnp.maximum(u, 0)]  # [E, 2M]
         nbrs = jnp.where(sel_valid[:, None], nbrs, -1).reshape(-1)  # [E*2M]
@@ -490,30 +493,27 @@ def _ground_beam_seeds(
 
         d_new = _dist_ids_rank(g, q, nbrs)
         d_new = jnp.where(mask, d_new, jnp.inf)
-        ids_new = jnp.where(mask, nbrs, -1)
-        exp_new = jnp.where(mask, 0, 1)
+        key_new = jnp.where(mask, nbrs * 2 + 1, -2)
 
         all_d = jnp.concatenate([beam_d, d_new])
-        all_ids = jnp.concatenate([beam_ids, ids_new])
-        all_exp = jnp.concatenate([beam_exp, exp_new])
+        all_key = jnp.concatenate([beam_key, key_new])
         if not use_visited:
-            # in-beam dedup by id, expanded copy first (same trick as
-            # the build beam): kill later copies before the rank sort
-            o_ids, o_nexp, o_d = jax.lax.sort(
-                [all_ids, 1 - all_exp, all_d], num_keys=2
-            )
+            # in-beam dedup by id, expanded copy first (key order IS
+            # the dedup order): kill later copies before the rank sort
+            o_key, o_d = jax.lax.sort([all_key, all_d], num_keys=1)
             dup = jnp.concatenate(
-                [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+                [jnp.zeros((1,), bool),
+                 (o_key[1:] >> 1) == (o_key[:-1] >> 1)]
             )
-            all_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
-            all_ids = o_ids
-            all_exp = 1 - o_nexp
-        sd, sids, sexp = jax.lax.sort([all_d, all_ids, all_exp], num_keys=2)
-        return (sd[:ef], sids[:ef], sexp[:ef], visited, steps + 1)
+            all_d = jnp.where(dup | (o_key < 0), jnp.inf, o_d)
+            all_key = o_key
+        sd, skey = jax.lax.sort([all_d, all_key], num_keys=2)
+        return (sd[:ef], skey[:ef], visited, steps + 1)
 
-    beam_d, beam_ids, beam_exp, visited, steps = jax.lax.while_loop(
-        cond, body, (beam_d, beam_ids, beam_exp, visited, jnp.int32(0))
+    beam_d, beam_key, visited, steps = jax.lax.while_loop(
+        cond, body, (beam_d, beam_key, visited, jnp.int32(0))
     )
+    beam_ids = jnp.where(beam_key >= 0, beam_key >> 1, -1)
     if _rank_is_approx(g):
         # restore exact f32 distances for the surviving beam (one [ef]
         # gather; the bf16 values steered ranking only)
@@ -1567,47 +1567,44 @@ def beam_search_arrays(
         # bitmap (the bitmap's per-step scatter+gather measured 11-38x
         # slower at 1M rows on TPU for identical recall; see
         # _ground_beam_seeds)
+        # packed beam key = id*2 + (1 - expanded), invalid = -2 (see
+        # _ground_beam_seeds): 2-operand merge sorts per step
         beam_d = jnp.full((ef,), jnp.inf, jnp.float32).at[0].set(cur_d)
-        beam_ids = jnp.full((ef,), -1, jnp.int32).at[0].set(cur)
-        beam_exp = jnp.ones((ef,), jnp.int32).at[0].set(0)
+        beam_key = jnp.full((ef,), -2, jnp.int32).at[0].set(cur * 2 + 1)
 
         def cond(state):
-            bd, bids, bexp, steps = state
-            unexp = jnp.where(bexp == 1, jnp.inf, bd)
+            bd, bkey, steps = state
+            unexp = jnp.where(bkey & 1 == 1, bd, jnp.inf)
             best = jnp.min(unexp)
             return (best <= jnp.max(bd)) & jnp.isfinite(best) & (steps < max_steps)
 
         def body(state):
-            bd, bids, bexp, steps = state
-            unexp = jnp.where(bexp == 1, jnp.inf, bd)
+            bd, bkey, steps = state
+            unexp = jnp.where(bkey & 1 == 1, bd, jnp.inf)
             pos = jnp.argmin(unexp)
-            u = bids[pos]
-            bexp = bexp.at[pos].set(1)
+            u = bkey[pos] >> 1
+            bkey = bkey.at[pos].set(bkey[pos] & ~1)
             nbrs = neighbors0[jnp.maximum(u, 0)]
             safe = jnp.clip(nbrs, 0, cap)
             mask = (nbrs >= 0) & traversable[safe]
             d_new = jnp.where(mask, dist(q, values[safe]), jnp.inf)
-            ids_new = jnp.where(mask, nbrs, -1)
-            exp_new = jnp.where(mask, 0, 1)
+            key_new = jnp.where(mask, nbrs * 2 + 1, -2)
             all_d = jnp.concatenate([bd, d_new])
-            all_ids = jnp.concatenate([bids, ids_new])
-            all_exp = jnp.concatenate([bexp, exp_new])
+            all_key = jnp.concatenate([bkey, key_new])
             # dedup by id, expanded copy first, then rank by distance
-            o_ids, o_nexp, o_d = jax.lax.sort(
-                [all_ids, 1 - all_exp, all_d], num_keys=2
-            )
+            o_key, o_d = jax.lax.sort([all_key, all_d], num_keys=1)
             dup = jnp.concatenate(
-                [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+                [jnp.zeros((1,), bool),
+                 (o_key[1:] >> 1) == (o_key[:-1] >> 1)]
             )
-            all_d = jnp.where(dup | (o_ids < 0), jnp.inf, o_d)
-            sd, sids, sexp = jax.lax.sort(
-                [all_d, o_ids, 1 - o_nexp], num_keys=2
-            )
-            return (sd[:ef], sids[:ef], sexp[:ef], steps + 1)
+            all_d = jnp.where(dup | (o_key < 0), jnp.inf, o_d)
+            sd, skey = jax.lax.sort([all_d, o_key], num_keys=2)
+            return (sd[:ef], skey[:ef], steps + 1)
 
-        bd, bids, _, _ = jax.lax.while_loop(
-            cond, body, (beam_d, beam_ids, beam_exp, jnp.int32(0))
+        bd, bkey, _ = jax.lax.while_loop(
+            cond, body, (beam_d, beam_key, jnp.int32(0))
         )
+        bids = jnp.where(bkey >= 0, bkey >> 1, -1)
         sd, sids = jax.lax.sort([bd, bids], num_keys=2)
         return sd, sids
 
