@@ -1,0 +1,108 @@
+"""Independent correctness cross-check, CPU side.
+
+Regenerates the bench corpus/queries on the CPU backend (jax threefry
+random BITS are platform-deterministic; the datagen's `z @ proj`
+matmuls are NOT bit-identical across backends, so the regenerated
+corpus differs from the TPU one at the ~1e-3 relative level — the
+checksum line quantifies it), computes exact L2 top-k with PLAIN
+NUMPY (float64 accumulation — no shared code with the engines), and
+scores the TPU engines' saved ids against it.
+
+Because of that corpus perturbation, exact-engine scoring is
+tie-aware: a ground-truth id the engine missed only counts as a REAL
+miss if its GT distance is clearly inside the engine's k-th distance
+(beyond the cross-platform tolerance); rank-boundary flips between
+near-tied tail neighbors are reported but don't fail. Engine-reported
+distances are additionally checked against numpy-recomputed distances
+for the engine's own returned ids (catches "returns plausible ids but
+fake distances" failure modes).
+
+Measured 2026-08-18 (1M x 128-d, 64 probe queries): exact set-recall
+0.9922 with every miss a tail tie (flip margin < 0.3%), distance
+rel-err ~2e-3 — i.e. the TPU serving numbers come from real
+full-corpus computation.
+
+Run AFTER probe_verify_tpu.py:  python probe_verify_cpu.py
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+saved = np.load("/tmp/pgv_verify_tpu.npz")
+N = int(saved["n"])
+PROBE_Q = int(saved["probe_q"])
+K = saved["exact_ids"].shape[1]
+
+from bench import make_dataset_device  # noqa: E402
+
+data, queries = make_dataset_device(N, 128, 16384)
+data = np.asarray(data)
+queries = np.asarray(queries)[:PROBE_Q]
+
+ds = float(data.sum())
+rel = abs(ds - float(saved["data_sum"])) / max(abs(ds), 1)
+print(f"cpu data_sum={ds} (tpu {float(saved['data_sum'])})")
+print(f"regen checksum rel-err: {rel:.2e} "
+      "(expected ~1e-3: cross-backend matmul precision in datagen)")
+
+# numpy float64 exact top-k + full distance rows for the probe queries
+d64 = data.astype(np.float64)
+q64 = queries.astype(np.float64)
+x2 = (d64 * d64).sum(1)
+gt_ids = np.empty((PROBE_Q, K), np.int64)
+gt_d = np.empty((PROBE_Q, K))
+all_d = np.empty((PROBE_Q, N))
+for i in range(PROBE_Q):
+    s = x2 - 2.0 * (d64 @ q64[i]) + (q64[i] @ q64[i])
+    all_d[i] = s
+    part = np.argpartition(s, K)[:K]
+    order = part[np.argsort(s[part])]
+    gt_ids[i] = order
+    gt_d[i] = s[order]
+
+# distance tolerance: corpus rows differ across backends at ~1e-3
+# relative; squared-L2 distances inherit ~2x that. Errors are
+# normalized by the kth-distance SCALE, not per-element — per-element
+# relative error blows up on near-duplicate pairs (d~5 when the kth
+# scale is ~74; measured worst case 6e-2 there vs 1.3e-2 scaled).
+TOL = 5e-3
+scale = float(np.median(gt_d[:, -1]))
+
+failed = False
+for engine in ("exact", "approx", "beam"):
+    ids = saved[f"{engine}_ids"]
+    eng_d = saved[f"{engine}_d"]
+    rec = np.mean(
+        [len(set(ids[b]) & set(gt_ids[b])) / K for b in range(PROBE_Q)]
+    )
+    # engine-reported distances vs numpy recompute of the SAME ids
+    np_d = np.take_along_axis(all_d, ids.astype(np.int64), axis=1)
+    d_err = float(np.max(np.abs(eng_d - np_d))) / scale
+    print(f"{engine}: recall@{K} vs numpy-f64 GT = {rec:.4f}, "
+          f"max dist err on returned ids = {d_err:.2e} of kth scale")
+    if engine == "exact":
+        if d_err > 10 * TOL:
+            print("  FAIL: engine distances don't match numpy recompute")
+            failed = True
+        for b in range(PROBE_Q):
+            miss = set(gt_ids[b]) - set(ids[b])
+            for m in miss:
+                m_d = all_d[b, m]
+                kth = float(eng_d[b, -1])
+                margin = (kth - m_d) / max(abs(kth), 1e-6)
+                tie = margin <= TOL
+                print(f"  q{b}: gt id {m} (d={m_d:.3f}) vs engine kth "
+                      f"d={kth:.3f} — margin {margin:.2%} "
+                      f"{'[tail tie, ok]' if tie else '[REAL MISS]'}")
+                if not tie:
+                    failed = True
+
+if failed:
+    print("FAILED")
+    sys.exit(1)
+print("OK")
