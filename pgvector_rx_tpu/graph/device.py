@@ -610,11 +610,16 @@ def _search_batch_coarse(
     seeds layer 0 better than Algorithm 5's ef=1 descent.
     """
     U = upper_rows.shape[0]
-    x2 = jnp.sum(
-        upper_rows.astype(jnp.float32) * upper_rows.astype(jnp.float32),
-        axis=1,
-    )
-    scores = _exact_scores(g, queries, upper_rows, x2, approx=True)
+    # ranking-only order scores (seed distances are recomputed exactly
+    # below): a = x2 for l2, 0 for ip/cosine (see _exact_scores)
+    if g.metric == "l2":
+        a = jnp.sum(
+            upper_rows.astype(jnp.float32) * upper_rows.astype(jnp.float32),
+            axis=1,
+        )
+    else:
+        a = jnp.zeros((U,), jnp.float32)
+    scores = _exact_scores(g, queries, upper_rows, a, approx=True)
     valid = (upper_ids < g.cap) & g.traversable[jnp.clip(upper_ids, 0, g.cap)]
     scores = jnp.where(valid[None, :], scores, jnp.inf)
     S = min(n_seeds, U, ef)  # seeds must fit the ef-wide beam
@@ -711,29 +716,50 @@ _PALLAS_PENALTY = 3.0e38  # matches ops/pallas_bruteforce._NEG_BIG
 _EXACT_SWEEP_CHUNK = 1 << 18
 
 
-def _exact_scores(g: DeviceGraph, queries, vals, x2, approx: bool):
-    """[B, rows(vals)] order-distance scores for a corpus slice."""
+def _exact_scores(g: DeviceGraph, queries, vals, a, approx: bool):
+    """[B, rows(vals)] ORDER scores for a corpus slice.
+
+    `a` is the penalty-folded per-row term: x2 + (0|inf dead) for l2,
+    (0|inf) alone for ip/cosine/l1. Scores are per-query monotone in
+    the true distance but NOT the distance itself (l2 omits the +q2
+    broadcast, cosine omits the 1- offset and clamp): folding the row
+    mask and per-query constants out of the [B, rows] epilogue is
+    worth ~12% qps on the 1M sweep (the sweep is selection-epilogue
+    bound, not MXU bound — see DESIGN.md 6e). `_true_dists` restores
+    real distance values on the final [B, k] columns.
+    """
     if approx:
         q = queries.astype(jnp.bfloat16)
         v = vals if vals.dtype == jnp.bfloat16 else vals.astype(jnp.bfloat16)
     else:
         q, v = queries, vals
     if g.metric == "l1":  # no matmul identity — direct differences
-        return jnp.sum(
-            jnp.abs(
-                queries[:, None, :] - vals.astype(jnp.float32)[None, :, :]
-            ),
-            axis=-1,
+        return (
+            jnp.sum(
+                jnp.abs(
+                    queries[:, None, :] - vals.astype(jnp.float32)[None, :, :]
+                ),
+                axis=-1,
+            )
+            + a[None, :]
         )
     dots = jax.lax.dot_general(
         q, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if g.metric == "l2":
+        return a[None, :] - 2.0 * dots
+    return a[None, :] - dots  # ip and cosine share the -dots order
+
+
+def _true_dists(g: DeviceGraph, queries, s):
+    """Recover true distances from order scores on [B, k] columns."""
+    if g.metric == "l2":
         q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
-        return jnp.maximum(q2 + x2[None, :] - 2.0 * dots, 0.0)
-    if g.metric == "ip":
-        return -dots
-    return 1.0 - jnp.clip(dots, -1.0, 1.0)  # cosine
+        return jnp.maximum(s + q2, 0.0)
+    if g.metric == "cosine":
+        # keep the inf dead-row sentinel (clip would map it to 2.0)
+        return jnp.where(jnp.isfinite(s), 1.0 - jnp.clip(-s, -1.0, 1.0), s)
+    return s  # ip: -dots IS the distance; l1: sums pass through
 
 
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
@@ -794,15 +820,21 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
         pen = jnp.where(live, 0.0, _PALLAS_PENALTY)
         a = x2 + pen if g.metric == "l2" else pen
         return binned_sweep_topk(vals, a, queries, k, g.metric)
+    # penalty-folded per-row term: ONE [rows] op instead of per-query
+    # [B, rows] where(live)/maximum/q2 passes (the sweep is epilogue
+    # bound — see _exact_scores)
+    pen = jnp.where(live, 0.0, jnp.inf)
+    a = x2 + pen if g.metric == "l2" else pen
+
     l1_needs_chunks = g.metric == "l1" and cap1 > 2048
     if cap1 <= _EXACT_SWEEP_CHUNK and not l1_needs_chunks:
-        scores = _exact_scores(g, queries, vals, x2, approx)
-        scores = jnp.where(live[None, :], scores, jnp.inf)
+        scores = _exact_scores(g, queries, vals, a, approx)
         if approx:
-            d, ids = jax.lax.approx_min_k(scores, k, recall_target=0.98)
+            s, ids = jax.lax.approx_min_k(scores, k, recall_target=0.98)
         else:
-            neg_d, ids = jax.lax.top_k(-scores, k)
-            d = -neg_d
+            neg_s, ids = jax.lax.top_k(-scores, k)
+            s = -neg_s
+        d = _true_dists(g, queries, s)
         return d, jnp.where(jnp.isfinite(d), ids, -1)
 
     # chunked sweep + merge (l1 uses small chunks: its direct-difference
@@ -819,37 +851,35 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
             CH //= 2
     pad = (-cap1) % CH
     vals_p = jnp.pad(vals, ((0, pad), (0, 0)))
-    x2_p = jnp.pad(x2, (0, pad))
-    live_p = jnp.pad(live, (0, pad))
+    a_p = jnp.pad(a, (0, pad), constant_values=jnp.inf)
     nc = vals_p.shape[0] // CH
-    base_ids = jnp.arange(CH, dtype=jnp.int32)
 
     def chunk(args):
-        v_c, x2_c, live_c, off = args
-        s = _exact_scores(g, queries, v_c, x2_c, approx)
-        s = jnp.where(live_c[None, :], s, jnp.inf)
+        v_c, a_c, off = args
+        s = _exact_scores(g, queries, v_c, a_c, approx)
         kk = min(k, CH)
         if approx:
-            d_c, i_c = jax.lax.approx_min_k(s, kk, recall_target=0.98)
+            s_c, i_c = jax.lax.approx_min_k(s, kk, recall_target=0.98)
         else:
             neg, i_c = jax.lax.top_k(-s, kk)
-            d_c = -neg
-        return d_c, jnp.where(jnp.isfinite(d_c), i_c + off, -1)
+            s_c = -neg
+        return s_c, jnp.where(jnp.isfinite(s_c), i_c + off, -1)
 
     offs = jnp.arange(nc, dtype=jnp.int32) * CH
+    # per-chunk order scores merge by sort unchanged: the omitted
+    # per-query terms shift every chunk's scores equally
     d_all, i_all = jax.lax.map(
         chunk,
         (
             vals_p.reshape(nc, CH, -1),
-            x2_p.reshape(nc, CH),
-            live_p.reshape(nc, CH),
+            a_p.reshape(nc, CH),
             offs,
         ),
     )  # [nc, B, k]
     flat_d = jnp.moveaxis(d_all, 0, 1).reshape(B, -1)
     flat_i = jnp.moveaxis(i_all, 0, 1).reshape(B, -1)
     sd, si = jax.lax.sort([flat_d, flat_i], num_keys=1)
-    d = sd[:, :k]
+    d = _true_dists(g, queries, sd[:, :k])
     return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
 
 
@@ -939,6 +969,12 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False,
 
         q_bits = unpack_words_bf16(queries)  # [B, nbits] bf16
 
+    # mxu-hamming fold: order score (bb + pen)[None,:] - 2ab skips the
+    # per-query q_pop broadcast and the [B, CH] where(live) pass (the
+    # sweep is selection-epilogue bound — see _exact_scores); q_pop is
+    # restored on the final [B, k] columns after the merge.
+    ham_fold = mxu and g.metric == "hamming"
+
     def chunk(args):  # ([CH, W], [CH], off)
         w_chunk, live_c, off = args
         bb = jnp.sum(jax.lax.population_count(w_chunk), axis=-1).astype(
@@ -953,7 +989,8 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False,
                 preferred_element_type=jnp.float32,
             )  # [B, CH] = popcount(q AND row), exact
             if g.metric == "hamming":
-                s = q_pop[:, None] + bb[None, :] - 2.0 * ab
+                pen_c = jnp.where(live_c, 0.0, jnp.inf)
+                s = (bb + pen_c)[None, :] - 2.0 * ab
             else:
                 union = q_pop[:, None] + bb[None, :] - ab
                 s = jnp.where(
@@ -975,7 +1012,8 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False,
             s = jnp.where(
                 ab == 0.0, 1.0, 1.0 - ab / jnp.where(union > 0, union, 1.0)
             )
-        s = jnp.where(live_c[None, :], s, jnp.inf)
+        if not ham_fold:
+            s = jnp.where(live_c[None, :], s, jnp.inf)
         if approx:
             d_c, i_c = jax.lax.approx_min_k(s, kk, recall_target=0.98)
             return d_c, jnp.where(jnp.isfinite(d_c), i_c + off, -1)
@@ -990,6 +1028,8 @@ def _exact_search_bits(g: DeviceGraph, queries, k: int, approx: bool = False,
     flat_i = jnp.moveaxis(i_all, 0, 1).reshape(B, -1)
     sd, si = jax.lax.sort([flat_d, flat_i], num_keys=1)
     d = sd[:, :k]
+    if ham_fold:  # restore the per-query popcount term
+        d = d + q_pop[:, None]
     return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
 
 
