@@ -762,6 +762,26 @@ def _true_dists(g: DeviceGraph, queries, s):
     return s  # ip: -dots IS the distance; l1: sums pass through
 
 
+def _rescore_true(g: DeviceGraph, queries, s, ids):
+    """Exact f32 distances for the final [B, k] columns of the approx
+    sweep: its bf16 order scores rank well but must not leak into
+    returned distance VALUES (same rule as the coarse beam's seed
+    rescore). One [B, k, D] gather + [B, k] sort — negligible next to
+    the sweep. Returns (d, ids) re-sorted by the exact distances."""
+    rows = g.values[jnp.clip(ids, 0, g.cap)]  # [B, k, D] f32
+    if g.metric == "l2":
+        diff = rows - queries[:, None, :]
+        d = jnp.sum(diff * diff, axis=-1)
+    elif g.metric == "l1":
+        d = jnp.sum(jnp.abs(rows - queries[:, None, :]), axis=-1)
+    else:
+        dots = jnp.sum(rows * queries[:, None, :], axis=-1)
+        d = -dots if g.metric == "ip" else 1.0 - jnp.clip(dots, -1.0, 1.0)
+    # dead-row / padding sentinel comes from the order score
+    d = jnp.where(jnp.isfinite(s), d, jnp.inf)
+    return jax.lax.sort([d, ids], num_keys=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
 def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
                         row_mask=None):
@@ -831,10 +851,10 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
         scores = _exact_scores(g, queries, vals, a, approx)
         if approx:
             s, ids = jax.lax.approx_min_k(scores, k, recall_target=0.98)
+            d, ids = _rescore_true(g, queries, s, ids)
         else:
             neg_s, ids = jax.lax.top_k(-scores, k)
-            s = -neg_s
-        d = _true_dists(g, queries, s)
+            d = _true_dists(g, queries, -neg_s)
         return d, jnp.where(jnp.isfinite(d), ids, -1)
 
     # chunked sweep + merge (l1 uses small chunks: its direct-difference
@@ -879,8 +899,12 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
     flat_d = jnp.moveaxis(d_all, 0, 1).reshape(B, -1)
     flat_i = jnp.moveaxis(i_all, 0, 1).reshape(B, -1)
     sd, si = jax.lax.sort([flat_d, flat_i], num_keys=1)
-    d = _true_dists(g, queries, sd[:, :k])
-    return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
+    s_k, i_k = sd[:, :k], si[:, :k]
+    if approx:
+        d, i_k = _rescore_true(g, queries, s_k, i_k)
+    else:
+        d = _true_dists(g, queries, s_k)
+    return d, jnp.where(jnp.isfinite(d), i_k, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "approx"))
