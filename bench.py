@@ -132,6 +132,15 @@ def main():
     n_q = int(os.environ.get("PGV_BENCH_Q", 16384))
     dim = int(os.environ.get("PGV_BENCH_DIM", 128))
     run_beam = os.environ.get("PGV_BENCH_BEAM", "1") != "0"
+    # ground-truth source: the fused Pallas kernel stages a SECOND
+    # corpus copy — past ~2GB of corpus that plus the builder state
+    # OOMs a 16GB chip (measured at 10M x 128-d), so big runs default
+    # to the index's own exact sweep (also recall-1.0). PGV_BENCH_GT
+    # overrides either way.
+    gt_engine = os.environ.get(
+        "PGV_BENCH_GT",
+        "engine" if n * dim * 4 > (2 << 30) else "pallas",
+    ) == "engine"
     k = 10
 
     import jax
@@ -197,7 +206,7 @@ def main():
         # the build may consume the corpus buffer — required to fit a
         # 10M x 128-d build + serve in one 16GB chip.
         build_input = data_dev if device_mode else data
-        consume = device_mode and os.environ.get("PGV_BENCH_GT") == "engine"
+        consume = device_mode and gt_engine
         if consume:
             data_dev = None  # ownership moves to the build
         log("building index (batched device build)...")
@@ -222,7 +231,7 @@ def main():
     from pgvector_rx_tpu.ops.pallas_bruteforce import available, l2_topk
 
     t0 = time.time()
-    if available() and os.environ.get("PGV_BENCH_GT") != "engine":
+    if available() and not gt_engine:
         # independent GT via the fused Pallas kernel (stages a second
         # corpus copy — at 10M rows that exceeds HBM; PGV_BENCH_GT=engine
         # reuses the index's own exact sweep, which is also recall-1.0)

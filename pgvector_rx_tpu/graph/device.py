@@ -1183,6 +1183,39 @@ def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
                 d_c = -neg
             return d_c, jnp.where(jnp.isfinite(d_c), i_c + off, -1)
 
+        def rescore(s, ids):
+            """Exact f32 distances for the [B, k] winners: bf16 order
+            scores must not leak into returned values (the dense
+            engine's _rescore_true rule). One [B, k, P] row gather +
+            densified-query f32 gather-dot."""
+            if not approx:
+                return s, ids
+            safe = jnp.clip(ids, 0, g.sp_indices.shape[0] - 1)
+            ci_r = g.sp_indices[safe]  # [B, k, P]
+            cv_r = jnp.where(ci_r != _INT_MAX, g.sp_values[safe], 0.0)
+            qd32 = sparse_ops.densify_queries(q_indices, q_values, dim)
+            col = jnp.where(ci_r != _INT_MAX, ci_r, dim)  # dump column
+            qvals = jnp.take_along_axis(
+                qd32[:, None, :], col, axis=2
+            )  # [B, k, P]
+            dots = jnp.sum(cv_r * qvals, axis=-1)
+            c_sq = jnp.sum(cv_r * cv_r, axis=-1)
+            if g.metric == "l2":
+                d = jnp.maximum(q_sq[:, None] + c_sq - 2.0 * dots, 0.0)
+            elif g.metric == "ip":
+                d = -dots
+            else:
+                denom = jnp.sqrt(q_sq[:, None] * c_sq)
+                sim = jnp.where(
+                    denom > 0.0,
+                    dots / jnp.where(denom > 0.0, denom, 1.0),
+                    0.0,
+                )
+                d = 1.0 - jnp.clip(sim, -1.0, 1.0)
+            d = jnp.where(jnp.isfinite(s), d, jnp.inf)
+            d, ids = jax.lax.sort([d, ids], num_keys=1)
+            return d, jnp.where(jnp.isfinite(d), ids, -1)
+
         offs = jnp.arange(nw, dtype=jnp.int32) * W
         if nw > 1:
             d_all, i_all = jax.lax.map(
@@ -1197,10 +1230,10 @@ def _exact_search_sparse(g: DeviceGraph, q_indices, q_values, k: int,
             flat_d = jnp.moveaxis(d_all, 0, 1).reshape(B, -1)
             flat_i = jnp.moveaxis(i_all, 0, 1).reshape(B, -1)
             sd, si = jax.lax.sort([flat_d, flat_i], num_keys=1)
-            d = sd[:, :k]
-            return d, jnp.where(jnp.isfinite(d), si[:, :k], -1)
+            d, si_k = rescore(sd[:, :k], si[:, :k])
+            return d, jnp.where(jnp.isfinite(d), si_k, -1)
         d, ids = window((ci_p, cv_p, live_p, jnp.int32(0)))
-        return d[:, :k], ids[:, :k]
+        return rescore(d[:, :k], ids[:, :k])
     if dense_q_ok:
         scores = sparse_ops.pairwise_dense_q(
             g.metric, dim, g.sp_indices, g.sp_values, q_indices, q_values
