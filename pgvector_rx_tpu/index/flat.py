@@ -39,7 +39,8 @@ class FlatIndex:
         return idx
 
     def insert(self, row, tid: int) -> None:
-        self._rows.append(np.asarray(row))
+        # sparse rows stay as SparseVec / (indices, values) pairs
+        self._rows.append(row if self.kind == "sparse" else np.asarray(row))
         self._tids.append(tid)
         self._device_cache = None
 
@@ -64,11 +65,24 @@ class FlatIndex:
         from ..ops import bits as bits_ops
         from ..ops import distances as dist_ops
 
-        single = np.asarray(queries, dtype=object).ndim == 1 if self.kind != "dense" else (
-            np.asarray(queries).ndim == 1
-        )
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float32 if self.kind == "dense" else None))
-        B = q.shape[0]
+        if self.kind == "sparse":
+            from ..types.sparsevec import SparseVec
+
+            single = isinstance(queries, (SparseVec, tuple))
+            qlist = [queries] if single else list(queries)
+            B = len(qlist)
+        else:
+            single = (
+                np.asarray(queries, dtype=object).ndim == 1
+                if self.kind != "dense"
+                else np.asarray(queries).ndim == 1
+            )
+            q = np.atleast_2d(
+                np.asarray(
+                    queries, dtype=np.float32 if self.kind == "dense" else None
+                )
+            )
+            B = q.shape[0]
         n = self.num_tuples
         if n == 0:
             out_d = np.full((B, k), np.inf)
@@ -87,7 +101,32 @@ class FlatIndex:
             qw = bits_ops.pack_bits(q.astype(np.uint8))
             d = bits_ops.pairwise(self.metric, jnp.asarray(base), jnp.asarray(qw))
         else:
-            raise NotImplementedError("sparse flat scan: use HnswIndex or host ops")
+            # exact sparse sweep: the merge-join pairwise kernel works at
+            # any dimensionality (sparsevec.rs allows dim up to 10^9), so
+            # the flat oracle needs no densification. Rows/queries pad to
+            # the max nnz seen (sorted-unique indices guaranteed by
+            # SparseVec).
+            from ..ops import sparse as sparse_ops
+
+            def nnz(v):
+                return len(v.indices if hasattr(v, "indices") else v[0])
+
+            budget = max(
+                1,
+                max((nnz(r) for r in self._rows), default=1),
+                max((nnz(s) for s in qlist), default=1),
+            )
+            bi, bv = sparse_ops.pad_rows(self._rows, budget)
+            qi, qv = sparse_ops.pad_rows(qlist, budget)
+            # cosine needs no pre-normalization: the sparse kernel
+            # divides by both norms (sparsevec.rs:1008-1037 semantics)
+            d = sparse_ops.pairwise(
+                self.metric,
+                jnp.asarray(bi),
+                jnp.asarray(bv),
+                jnp.asarray(qi),
+                jnp.asarray(qv),
+            )
 
         kk = min(k, n)
         neg, pos = jax.lax.top_k(-d, kk)

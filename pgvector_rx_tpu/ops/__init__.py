@@ -6,6 +6,6 @@ scan.rs:155-228): distances are computed in batches that map onto the
 MXU/VPU, with gathers from flat HBM arrays instead of buffer reads.
 """
 
-from . import bits, distances, sparse, topk
+from . import bits, distances, sparse
 
-__all__ = ["distances", "bits", "sparse", "topk"]
+__all__ = ["distances", "bits", "sparse"]

@@ -187,6 +187,37 @@ class Vector:
         """``vector_to_float4``. Parity: vector.rs:465-487."""
         return self.data.copy()
 
+    @classmethod
+    def from_numeric_array(cls, arr, typmod: int | None = None) -> "Vector":
+        """``numeric[] -> vector`` cast: arbitrary-precision decimals
+        (Python ``decimal.Decimal`` / ``int`` / ``Fraction``) convert
+        through float with NaN/Inf rejection, like every element cast.
+        Parity: vector.rs:398-460 (the numeric[] registration of
+        array_to_vector; elements go through CheckElement).
+        """
+        vals = []
+        for x in arr:
+            if x is None:
+                raise ValueError("array must not contain nulls")
+            v = float(x)
+            check_element(v)
+            vals.append(v)
+        a = np.asarray(vals, dtype=np.float32)
+        check_dim(a.shape[0])
+        check_expected_dim(typmod, a.shape[0])
+        return cls(a, _validate=True)
+
+    def to_numeric_array(self) -> list:
+        """``vector -> numeric[]`` cast: exact decimal rendering of the
+        stored f32 values (shortest-roundtrip text, like vector_out's
+        element rendering). Parity: the numeric[] leg of the cast
+        family, vector.rs:398 region."""
+        from decimal import Decimal
+
+        from ._common import format_f32
+
+        return [Decimal(format_f32(v)) for v in self.data]
+
     def cast(self, typmod: int) -> "Vector":
         """``vector`` -> ``vector(N)`` cast. Parity: vector_cast."""
         check_expected_dim(typmod, self.dim)

@@ -25,6 +25,39 @@ class TestFlat:
         _, ids = idx.search(data[10], 1)
         assert ids[0] != 10
 
+    def test_sparse_flat(self, rng):
+        from pgvector_rx_tpu.types import SparseVec
+
+        dim = 1000
+        rows = []
+        for _ in range(80):
+            dense = rng.standard_normal(dim).astype(np.float32)
+            dense[rng.random(dim) < 0.95] = 0.0
+            rows.append(SparseVec.from_dense(dense))
+        idx = FlatIndex.build(rows, metric="l2", kind="sparse")
+        d, ids = idx.search(rows[11], 3)
+        assert ids[0] == 11
+        assert d[0] == pytest.approx(0.0, abs=1e-5)
+        # matches the dense exact ordering
+        densified = np.stack([r.to_dense() for r in rows])
+        qd = densified[11]
+        true = np.argsort(((densified - qd) ** 2).sum(1))[:3]
+        assert set(ids) == set(true)
+
+    def test_sparse_flat_cosine(self, rng):
+        from pgvector_rx_tpu.types import SparseVec
+
+        dim = 64
+        rows = []
+        for _ in range(40):
+            dense = rng.standard_normal(dim).astype(np.float32)
+            dense[rng.random(dim) < 0.7] = 0.0
+            rows.append(SparseVec.from_dense(dense))
+        idx = FlatIndex.build(rows, metric="cosine", kind="sparse")
+        d, ids = idx.search(rows[5], 2)
+        assert ids[0] == 5
+        assert d[0] == pytest.approx(0.0, abs=1e-5)
+
     def test_bit_flat(self, rng):
         bits = rng.integers(0, 2, size=(100, 32)).astype(np.uint8)
         idx = FlatIndex.build(bits, metric="hamming", kind="bit")

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pgvector_rx_tpu.ops import bits, distances, sparse, topk
+from pgvector_rx_tpu.ops import bits, distances, sparse
 from pgvector_rx_tpu.types import SparseVec, bitvec, vector
 
 
@@ -120,36 +120,6 @@ class TestSparseDistances:
         allp = np.asarray(sparse.pairwise("l2", bi, bv, qi, qv))
         got = np.asarray(sparse.gathered("l2", bi, bv, ids, qi, qv))
         np.testing.assert_allclose(got, np.take_along_axis(allp, ids, axis=1), rtol=1e-5)
-
-
-class TestTopk:
-    def test_topk_smallest(self, rng):
-        d = rng.random((3, 20)).astype(np.float32)
-        ids = np.tile(np.arange(20, dtype=np.int32), (3, 1))
-        td, ti = topk.topk_smallest(d, ids, 5)
-        want = np.sort(d, axis=1)[:, :5]
-        np.testing.assert_allclose(np.asarray(td), want, rtol=1e-6)
-
-    def test_merge_beams_deterministic_ties(self):
-        import jax.numpy as jnp
-
-        beam_d = jnp.array([[1.0, 2.0]])
-        beam_ids = jnp.array([[5, 7]], dtype=jnp.int32)
-        new_d = jnp.array([[1.0, 0.5]])
-        new_ids = jnp.array([[3, 9]], dtype=jnp.int32)
-        d, (ids,) = topk.merge_beams(beam_d, (beam_ids,), new_d, (new_ids,), 3)
-        assert d.tolist() == [[0.5, 1.0, 1.0]]
-        # tie at 1.0 broken by lower id
-        assert ids.tolist() == [[9, 3, 5]]
-
-    def test_sort_beam_unique(self):
-        import jax.numpy as jnp
-
-        d = jnp.array([[0.5, 0.2, 0.5, 0.9]])
-        ids = jnp.array([[4, 1, 4, 2]], dtype=jnp.int32)
-        sd, si = topk.sort_beam(d, ids, 4, unique_by_id=True)
-        assert si.tolist()[0][:3] == [1, 4, 2]
-        assert np.isinf(np.asarray(sd)[0, 3])
 
 
 class TestSparseDenseQ:

@@ -83,6 +83,23 @@ class TestVectorIO:
         with pytest.raises(ValueError, match="array must not contain nulls"):
             Vector.from_array(np.array([1, None, 3], dtype=object))
 
+    def test_numeric_array_cast(self):
+        from decimal import Decimal
+
+        v = Vector.from_numeric_array([Decimal("1.5"), Decimal("-2"), 3])
+        assert v.to_text() == "[1.5,-2,3]"
+        back = v.to_numeric_array()
+        assert back == [Decimal("1.5"), Decimal("-2"), Decimal("3")]
+        with pytest.raises(ValueError, match="nulls"):
+            Vector.from_numeric_array([Decimal("1"), None])
+        with pytest.raises(ValueError):
+            Vector.from_numeric_array([Decimal("NaN")])
+        # round-trip at f32 precision (shortest-decimal rendering)
+        w = Vector.from_numeric_array(
+            Vector([0.1, 2.0e-7, 12345.678]).to_numeric_array()
+        )
+        assert w == Vector([0.1, 2.0e-7, 12345.678])
+
     def test_norm_and_normalize(self):
         v = Vector([3.0, 4.0])
         assert v.norm() == pytest.approx(5.0)
