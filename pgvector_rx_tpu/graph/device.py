@@ -52,6 +52,47 @@ _SPARSE_DENSE_Q_MAX_DIM = int(
 )
 
 
+#: serving value-array dtype policy (VERDICT r1 #6 — dtype-native
+#: serving). "auto": halfvec indexes store ONE f16 array (2 B/dim —
+#: the reference scores the f16-STORED value, so f32-computed
+#: distances over f16 rows are exactly its semantics), f32 indexes
+#: keep f32 + a bf16 sweep copy (6 B/dim, exact distances).
+#: "bf16": store ONE bf16 array for ANY dense index (2 B/dim; the
+#: "exact" engine then returns distances exact w.r.t. the bf16-rounded
+#: stored value — what makes 10M x 1024-d fit a 16 GB chip).
+#: "f32": force the full-precision pair everywhere.
+def _serve_dtype_for(index):
+    # read at call time (graph construction, not a hot path) so tests
+    # and serving configs can toggle without reimporting
+    mode = os.environ.get("PGV_SERVE_DTYPE", "auto")
+    if mode == "bf16":
+        return jnp.bfloat16
+    if mode == "f16":
+        return jnp.float16
+    if mode == "f32":
+        return jnp.float32
+    # auto: follow the index's stored dtype
+    if index.kind == "dense" and index.dtype == np.float16:
+        return jnp.float16
+    return jnp.float32
+
+
+def _serve_value_arrays(v32, serve_dtype):
+    """(values, x2, values_bf16) under the dtype policy. ``v32`` is the
+    padded [cap+1, D] f32 row matrix; compact dtypes store one array
+    and derive x2 from the STORED (rounded) values so l2 order scores
+    match what a gather-rescore of those rows would produce."""
+    if serve_dtype == jnp.float32:
+        return dict(
+            values=v32,
+            x2=jnp.sum(v32 * v32, axis=1),
+            values_bf16=v32.astype(jnp.bfloat16),
+        )
+    v = v32.astype(serve_dtype)
+    vf = v.astype(jnp.float32)
+    return dict(values=v, x2=jnp.sum(vf * vf, axis=1), values_bf16=None)
+
+
 @dataclass
 class DeviceGraph:
     """Flat-array mirror of a host index (device-resident, immutable)."""
@@ -82,6 +123,7 @@ class DeviceGraph:
     @classmethod
     def from_index(cls, index) -> "DeviceGraph":
         n = len(index.elements)
+        serve_dtype = _serve_dtype_for(index)
         m = index.params.m
         lm0 = hnsw_get_layer_m(m, 0)
 
@@ -127,9 +169,7 @@ class DeviceGraph:
             vals = np.zeros((n + 1, index.dim), dtype=np.float32)
             vals[:n] = index.store.rows[:n].astype(np.float32)
             v = jnp.asarray(vals)
-            kwargs["values"] = v
-            kwargs["x2"] = jnp.sum(v * v, axis=1)
-            kwargs["values_bf16"] = v.astype(jnp.bfloat16)
+            kwargs.update(_serve_value_arrays(v, serve_dtype))
         elif index.kind == "bit":
             from ..ops.bits import pack_bits
 
@@ -523,6 +563,178 @@ def _ground_beam_seeds(
     return sd, sids, steps
 
 
+# ---------------------------------------------------------------------------
+# Resumable beam scan (iterative-scan analog for beam-scale corpora)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "spill", "max_steps", "expand")
+)
+def _beam_scan_segment(
+    g: DeviceGraph,
+    q,  # [D] prepared query
+    seed_ids,  # [S] int32, -1 = unused
+    seed_d,  # [S] f32
+    excluded,  # [cap+1] bool — already-emitted elements
+    ef: int,
+    spill: int,
+    max_steps: int,
+    expand: int = 1,
+):
+    """One iterative-scan segment: beam search from seed candidates
+    under an exclusion mask, CAPTURING evicted candidates.
+
+    The device analog of the reference's iterative scan state
+    (scan.rs:311-346, :538-577): the spill buffer plays the discarded
+    max-heap's role (candidates evicted from the beam, fuel for the
+    next resume), and ``excluded`` plays the shared visited set's role
+    for already-emitted elements (the beam's in-beam dedup covers
+    intra-segment re-visits). Returns (beam_d [ef], beam_ids [ef],
+    spill_d [spill], spill_ids [spill], steps) — beam sorted nearest
+    first, spill sorted nearest first with id-dedup applied.
+    """
+    S = seed_ids.shape[0]
+    safe_seed = jnp.clip(seed_ids, 0, g.cap)
+    ok = (
+        (seed_ids >= 0)
+        & g.traversable[safe_seed]
+        & ~excluded[safe_seed]
+    )
+    seed_d = jnp.where(ok, seed_d, jnp.inf)
+    seed_key = jnp.where(ok, seed_ids * 2 + 1, -2)
+    # nearest min(S, ef) seeds enter the beam; the overflow goes
+    # straight to the spill buffer — those are the reference's
+    # still-unexplored discarded candidates and must not be dropped
+    seed_d, seed_key = jax.lax.sort([seed_d, seed_key], num_keys=2)
+    nb = min(S, ef)
+    beam_d = jnp.full((ef,), jnp.inf, dtype=jnp.float32).at[:nb].set(
+        seed_d[:nb]
+    )
+    beam_key = jnp.full((ef,), -2, dtype=jnp.int32).at[:nb].set(
+        seed_key[:nb]
+    )
+    spill_d0 = jnp.full((spill,), jnp.inf, dtype=jnp.float32)
+    spill_key0 = jnp.full((spill,), -2, dtype=jnp.int32)
+    if S > nb:
+        ov = min(S - nb, spill)
+        spill_d0 = spill_d0.at[:ov].set(seed_d[nb : nb + ov])
+        spill_key0 = spill_key0.at[:ov].set(seed_key[nb : nb + ov])
+
+    def cond(state):
+        beam_d, beam_key, sp_d, sp_key, steps = state
+        unexp_d = jnp.where(beam_key & 1 == 1, beam_d, jnp.inf)
+        best = jnp.min(unexp_d)
+        furthest = jnp.max(beam_d)
+        return (best <= furthest) & jnp.isfinite(best) & (steps < max_steps)
+
+    def body(state):
+        beam_d, beam_key, sp_d, sp_key, steps = state
+        unexp_d = jnp.where(beam_key & 1 == 1, beam_d, jnp.inf)
+        if expand == 1:
+            pos = jnp.argmin(unexp_d)[None]
+        else:
+            _, pos = jax.lax.top_k(-unexp_d, expand)
+        sel_valid = jnp.isfinite(unexp_d[pos])
+        u = jnp.where(sel_valid, beam_key[pos] >> 1, -1)
+        beam_key = beam_key.at[pos].set(
+            jnp.where(sel_valid, beam_key[pos] & ~1, beam_key[pos])
+        )
+        nbrs = g.neighbors0[jnp.maximum(u, 0)]
+        nbrs = jnp.where(sel_valid[:, None], nbrs, -1).reshape(-1)
+        safe = jnp.clip(nbrs, 0, g.cap)
+        mask = (nbrs >= 0) & g.traversable[safe] & ~excluded[safe]
+        d_new = _dist_ids_rank(g, q, nbrs)
+        d_new = jnp.where(mask, d_new, jnp.inf)
+        key_new = jnp.where(mask, nbrs * 2 + 1, -2)
+
+        all_d = jnp.concatenate([beam_d, d_new])
+        all_key = jnp.concatenate([beam_key, key_new])
+        # in-beam dedup by id (expanded copy first = key order)
+        o_key, o_d = jax.lax.sort([all_key, all_d], num_keys=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), bool), (o_key[1:] >> 1) == (o_key[:-1] >> 1)]
+        )
+        all_d = jnp.where(dup | (o_key < 0), jnp.inf, o_d)
+        sd, skey = jax.lax.sort([all_d, o_key], num_keys=2)
+        # evicted tail -> spill buffer (the discarded-heap analog):
+        # merge this step's non-survivors with the running spill,
+        # keep the `spill` nearest
+        tail_d, tail_key = sd[ef:], skey[ef:]
+        m_d = jnp.concatenate([sp_d, tail_d])
+        m_key = jnp.concatenate([sp_key, tail_key])
+        m_d, m_key = jax.lax.sort([m_d, m_key], num_keys=2)
+        return (sd[:ef], skey[:ef], m_d[:spill], m_key[:spill], steps + 1)
+
+    beam_d, beam_key, sp_d, sp_key, steps = jax.lax.while_loop(
+        cond, body, (beam_d, beam_key, spill_d0, spill_key0, jnp.int32(0))
+    )
+    beam_ids = jnp.where(beam_key >= 0, beam_key >> 1, -1)
+    if _rank_is_approx(g):
+        d_exact = _dist_ids(g, q, beam_ids)
+        beam_d = jnp.where(beam_ids >= 0, d_exact, jnp.inf)
+    beam_d, beam_ids = jax.lax.sort([beam_d, beam_ids], num_keys=2)
+    # spill dedup: by id (nearest copy wins), drop ids that ended in the
+    # beam (they will be emitted and excluded before the next resume)
+    sp_ids = jnp.where(sp_key >= 0, sp_key >> 1, -1)
+    o_ids, o_d = jax.lax.sort([sp_ids, sp_d], num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), o_ids[1:] == o_ids[:-1]]
+    )
+    in_beam = (
+        jnp.sum(
+            (o_ids[:, None] == beam_ids[None, :]) & (beam_ids >= 0)[None, :],
+            axis=1,
+        )
+        > 0
+    )
+    o_d = jnp.where(dup | in_beam | (o_ids < 0), jnp.inf, o_d)
+    sp_d, sp_ids = jax.lax.sort([o_d, o_ids], num_keys=2)
+    sp_ids = jnp.where(jnp.isfinite(sp_d), sp_ids, -1)
+    return beam_d, beam_ids, sp_d, sp_ids, steps
+
+
+@jax.jit
+def _mark_excluded(excluded, ids):
+    """Scatter emitted element ids into the exclusion mask (invalid ids
+    land on the pad row, which is never admitted anyway)."""
+    safe = jnp.where(ids >= 0, ids, excluded.shape[0] - 1)
+    return excluded.at[safe].set(True)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seeds",))
+def _coarse_seed_one(g: DeviceGraph, q, upper_ids, upper_rows, n_seeds: int):
+    """Top-n_seeds level>=1 elements for one query (the beam scan's
+    first-segment entry points; same coarse seeding as the beam serving
+    engine, with exact f32 re-scored distances)."""
+    U = upper_rows.shape[0]
+    if g.metric == "l2":
+        rf = upper_rows.astype(jnp.float32)
+        a = jnp.sum(rf * rf, axis=1)
+    else:
+        a = jnp.zeros((U,), jnp.float32)
+    scores = _exact_scores(g, q[None], upper_rows, a, approx=True)[0]
+    valid = (upper_ids < g.cap) & g.traversable[jnp.clip(upper_ids, 0, g.cap)]
+    scores = jnp.where(valid, scores, jnp.inf)
+    neg, slots = jax.lax.top_k(-scores, min(n_seeds, U))
+    seed_ids = jnp.where(jnp.isfinite(-neg), upper_ids[slots], -1)
+    seed_d = _dist_ids(g, q, jnp.clip(seed_ids, 0, g.cap))
+    seed_d = jnp.where(seed_ids >= 0, seed_d, jnp.inf)
+    return seed_ids, seed_d
+
+
+@functools.partial(jax.jit, static_argnames=("entry_level",))
+def _descent_seed_one(g: DeviceGraph, q, entry_level: int):
+    """Greedy upper-layer descent -> single layer-0 entry (Algorithm 5
+    order) for graphs without a usable upper set."""
+    entry = jnp.int32(g.entry)
+    d0 = _dist_ids(g, q, entry[None])[0]
+    cur, cur_d = entry, d0
+    for layer in range(entry_level, 0, -1):
+        cur, cur_d = _greedy_descent(g, q, cur, cur_d, layer)
+    return cur[None], cur_d[None]
+
+
 @functools.partial(
     jax.jit, static_argnames=("ef", "entry_level", "max_steps", "expand")
 )
@@ -732,7 +944,12 @@ def _exact_scores(g: DeviceGraph, queries, vals, a, approx: bool):
         q = queries.astype(jnp.bfloat16)
         v = vals if vals.dtype == jnp.bfloat16 else vals.astype(jnp.bfloat16)
     else:
-        q, v = queries, vals
+        # compact stores (f16/bf16 values): cast up for the f32 MXU
+        # pass — distances stay exact w.r.t. the STORED rounded value,
+        # which is the reference's halfvec semantics (halfvec.rs: all
+        # arithmetic in f32 over f16-stored values)
+        q = queries
+        v = vals if vals.dtype == jnp.float32 else vals.astype(jnp.float32)
     if g.metric == "l1":  # no matmul identity — direct differences
         return (
             jnp.sum(
@@ -768,7 +985,7 @@ def _rescore_true(g: DeviceGraph, queries, s, ids):
     returned distance VALUES (same rule as the coarse beam's seed
     rescore). One [B, k, D] gather + [B, k] sort — negligible next to
     the sweep. Returns (d, ids) re-sorted by the exact distances."""
-    rows = g.values[jnp.clip(ids, 0, g.cap)]  # [B, k, D] f32
+    rows = g.values[jnp.clip(ids, 0, g.cap)].astype(jnp.float32)  # [B, k, D]
     if g.metric == "l2":
         diff = rows - queries[:, None, :]
         d = jnp.sum(diff * diff, axis=-1)
@@ -839,7 +1056,8 @@ def _exact_search_batch(g: DeviceGraph, queries, k: int, approx: bool = False,
 
         pen = jnp.where(live, 0.0, _PALLAS_PENALTY)
         a = x2 + pen if g.metric == "l2" else pen
-        return binned_sweep_topk(vals, a, queries, k, g.metric)
+        v_bf = vals if vals.dtype == jnp.bfloat16 else vals.astype(jnp.bfloat16)
+        return binned_sweep_topk(v_bf, a, queries, k, g.metric)
     # penalty-folded per-row term: ONE [rows] op instead of per-query
     # [B, rows] where(live)/maximum/q2 passes (the sweep is epilogue
     # bound — see _exact_scores)
@@ -1434,6 +1652,34 @@ def prepare_queries(index, qlist):
     return jnp.asarray(qi), jnp.asarray(qv)
 
 
+def _record_scan_stats(index, g: DeviceGraph, B: int, steps, expand: int):
+    """Populate ``index.last_scan_stats`` (the EXPLAIN ANALYZE /
+    pgstat-counters analog, scan.rs:718-729; SURVEY §5).
+
+    Gated behind PGV_SCAN_STATS=1: the beam path's per-query step
+    counts live on device, and downloading them costs a tunnel
+    round-trip the serving hot path must not pay by default. Exact
+    engines score every row, so their counters are free host math.
+    """
+    if os.environ.get("PGV_SCAN_STATS", "0") == "0":
+        return
+    from ..utils.stats import ScanStats
+
+    st = ScanStats()
+    if steps is None:  # exact/approx sweep: every row scored per query
+        st.distances_computed = B * g.cap
+        st.nodes_visited = B * g.cap
+    else:
+        total = int(np.asarray(jnp.sum(steps)))
+        lm0 = g.neighbors0.shape[1]
+        st.beam_steps = total
+        # each step expands `expand` nodes and scores their <=2M
+        # neighbor rows (estimate: pad slots counted as scored)
+        st.nodes_visited = total * expand
+        st.distances_computed = total * expand * lm0
+    index.last_scan_stats = st
+
+
 def search(index, qlist, k: int, params, engine: str = "auto",
            filter_mask=None):
     """Batched device k-NN -> (order-dists [B,k] f64, heap ids [B,k]).
@@ -1468,6 +1714,7 @@ def search(index, qlist, k: int, params, engine: str = "auto",
         # batch, so the exact cutover is much lower than the MXU kinds
         limit = 200_000 if index.kind == "sparse" else EXACT_ENGINE_MAX_ROWS
         engine = "exact" if g.cap <= limit else "beam"
+    steps = None  # beam loop iterations (ScanStats, scan.rs:718-729 analog)
     if engine in ("exact", "approx"):
         if index.kind == "dense":
             beam_d, beam_ids = _exact_search_batch(
@@ -1498,25 +1745,26 @@ def search(index, qlist, k: int, params, engine: str = "auto",
             from ..ops.sparse import densify_queries
 
             qd = densify_queries(qtuple[0], qtuple[1], index.dim)
-            beam_d, beam_ids, _ = jax.vmap(
+            beam_d, beam_ids, steps = jax.vmap(
                 lambda qi, qv, qdr: _search_one_sparse(
                     g, (qi, qv, qdr), ef, max_steps
                 )
             )(qtuple[0], qtuple[1], qd)
         else:
-            beam_d, beam_ids, _ = jax.vmap(
+            beam_d, beam_ids, steps = jax.vmap(
                 lambda qi, qv: _search_one_sparse(g, (qi, qv), ef, max_steps)
             )(qtuple[0], qtuple[1])
     else:
         upper = _coarse_upper(g)
         if upper is not None:
-            beam_d, beam_ids, _ = _search_batch_coarse(
+            beam_d, beam_ids, steps = _search_batch_coarse(
                 g, queries, upper[0], upper[1], ef, max_steps, expand
             )
         else:
-            beam_d, beam_ids, _ = _search_batch(
+            beam_d, beam_ids, steps = _search_batch(
                 g, queries, ef, g.entry_level, max_steps, expand
             )
+    _record_scan_stats(index, g, B, steps, expand)
     beam_d = np.asarray(beam_d, dtype=np.float64)
     beam_ids = np.asarray(beam_ids)
 

@@ -2682,11 +2682,20 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
             )
         )
     else:
-        value_kwargs = dict(
-            values=builder.vectors,
-            x2=builder.data.x2,
-            values_bf16=builder.data.vectors_bf16,
-        )
+        from .device import _serve_dtype_for, _serve_value_arrays
+
+        serve_dtype = _serve_dtype_for(index)
+        if serve_dtype == jnp.float32:
+            value_kwargs = dict(
+                values=builder.vectors,
+                x2=builder.data.x2,
+                values_bf16=builder.data.vectors_bf16,
+            )
+        else:
+            # dtype-native serving (VERDICT r1 #6): ONE compact value
+            # array + f32 x2 derived from the rounded rows; the f32
+            # build buffers free once the store drops its reference
+            value_kwargs = _serve_value_arrays(builder.vectors, serve_dtype)
     return DeviceGraph(
         kind=index.kind,
         metric=index.metric,

@@ -25,6 +25,7 @@ Semantics mirrored (file:line in /root/reference):
 from __future__ import annotations
 
 import math
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -105,6 +106,19 @@ class HnswIndex:
         self._device = None  # device graph cache (graph/device.py)
         self._log = None  # append log (storage.py attaches)
         self.stats = {"scans": 0, "inserts": 0, "duplicates": 0, "resumes": 0}
+        # last batch-search ScanStats (EXPLAIN ANALYZE analog): host
+        # searches always fill it; device engines fill it under
+        # PGV_SCAN_STATS=1 (the beam step counters live on device)
+        self.last_scan_stats = None
+        # Writer lock — the UPDATE_LOCK analog (insert.rs:1291-1313):
+        # mutations (insert/delete/vacuum/save) serialize through it;
+        # readers run lock-free and optimistically, exactly like the
+        # reference's lock-free neighbor reads — element versions catch
+        # recycled slots, and list mutations are GIL-atomic (append /
+        # wholesale replacement), so a concurrent scan sees either the
+        # old or the new neighbor list, never a torn one. Contract
+        # tested by the t/016 analog (tests/test_concurrency.py).
+        self._write_lock = threading.RLock()
 
     # -- basics --------------------------------------------------------------
 
@@ -308,8 +322,6 @@ class HnswIndex:
         Returns the element idx, or None if skipped (cosine zero norm) or
         absorbed as a duplicate.
         """
-        if tid is None:
-            tid = self.num_tuples
         if self.serving_only:
             raise RuntimeError(
                 "serving-only index (built with host_graph=False) does not "
@@ -318,12 +330,17 @@ class HnswIndex:
         prepared = self.prepare_value(value)
         if prepared is None:
             return None
-        self._invalidate_device()
-        self.stats["inserts"] += 1
-        out = self._insert_prepared(prepared, tid, C.HNSW_UPDATE_ENTRY_GREATER)
-        if self._log is not None:
-            self._log.record_insert(value, tid)
-        return out
+        with self._write_lock:  # UPDATE_LOCK analog: writers serialize
+            if tid is None:
+                tid = self.num_tuples
+            self._invalidate_device()
+            self.stats["inserts"] += 1
+            out = self._insert_prepared(
+                prepared, tid, C.HNSW_UPDATE_ENTRY_GREATER
+            )
+            if self._log is not None:
+                self._log.record_insert(value, tid)
+            return out
 
     def insert_bulk(self, values, tids: Optional[Sequence[int]] = None) -> int:
         """Batched device insert (dense): aminsert semantics at bulk-build
@@ -333,24 +350,28 @@ class HnswIndex:
         (folded duplicate TIDs excluded)."""
         from ..graph import device_build
 
-        if tids is None:
-            base = self.num_tuples
-            tids = range(base, base + len(values))
-        return device_build.bulk_insert(self, values, tids)
+        with self._write_lock:
+            if tids is None:
+                base = self.num_tuples
+                tids = range(base, base + len(values))
+            return device_build.bulk_insert(self, values, tids)
 
     def add_batch(self, values, tids: Optional[Sequence[int]] = None) -> None:
         """Sequential host bulk-load (ambuild's heap-scan loop,
         build.rs:400-535)."""
-        self._invalidate_device()
-        n = len(values)
-        if tids is None:
-            base = self.num_tuples
-            tids = range(base, base + n)
-        for value, tid in zip(values, tids):
-            prepared = self.prepare_value(value)
-            if prepared is None:
-                continue
-            self._insert_prepared(prepared, int(tid), C.HNSW_UPDATE_ENTRY_GREATER)
+        with self._write_lock:
+            self._invalidate_device()
+            n = len(values)
+            if tids is None:
+                base = self.num_tuples
+                tids = range(base, base + n)
+            for value, tid in zip(values, tids):
+                prepared = self.prepare_value(value)
+                if prepared is None:
+                    continue
+                self._insert_prepared(
+                    prepared, int(tid), C.HNSW_UPDATE_ENTRY_GREATER
+                )
 
     # -- build ---------------------------------------------------------------
 
@@ -490,23 +511,37 @@ class HnswIndex:
         method="host": the reference-semantics graph scan (HnswScan).
         method="device": the TPU-native streaming exact scan
         (DeviceScan — exactly ordered, recall 1.0; dense only).
+        method="beam": the resumable device beam scan (DeviceBeamScan —
+        spilled-candidate resume, the scan.rs:538-577 analog; dense
+        only; the only iterative engine past the exact sweep's
+        economics).
         "auto" picks host when the host graph exists, device otherwise
-        (serving-only indexes).
+        (serving-only indexes: DeviceScan up to the exact cutover,
+        DeviceBeamScan beyond it).
         """
-        from .scan import DeviceScan, HnswScan
+        from ..graph.device import EXACT_ENGINE_MAX_ROWS
+        from .scan import DeviceBeamScan, DeviceScan, HnswScan
 
         params = params or SearchParams()
+        if method == "beam":
+            return DeviceBeamScan(self, query, params,
+                                  filter_mask=filter_mask)
         use_device = method == "device" or (
             method == "auto" and self.serving_only
         )
         if use_device:
             if self.kind != "dense":
                 raise ValueError("device scan supports dense indexes only")
+            if method == "auto" and self.store.count > EXACT_ENGINE_MAX_ROWS:
+                # past the exact sweep's economics the beam scan is the
+                # only iterative device engine (VERDICT r1 #3)
+                return DeviceBeamScan(self, query, params,
+                                      filter_mask=filter_mask)
             if filter_mask is not None:
                 raise ValueError(
                     "DeviceScan does not take filter_mask; filter its "
-                    "exactly-ordered stream caller-side, or use "
-                    "search(filter_mask=...)"
+                    "exactly-ordered stream caller-side, use "
+                    "search(filter_mask=...), or scan(method='beam')"
                 )
             return DeviceScan(self, query, params)
         return HnswScan(self, query, params, filter_mask=filter_mask)
@@ -521,19 +556,22 @@ class HnswIndex:
             )
         from . import vacuum
 
-        return vacuum.delete_tids(self, tids)
+        with self._write_lock:
+            return vacuum.delete_tids(self, tids)
 
     def vacuum(self) -> dict:
         from . import vacuum
 
-        return vacuum.run_vacuum(self)
+        with self._write_lock:
+            return vacuum.run_vacuum(self)
 
     # -- persistence ---------------------------------------------------------
 
     def save(self, path) -> None:
         from . import storage
 
-        storage.save(self, path)
+        with self._write_lock:  # checkpoint a quiescent graph
+            storage.save(self, path)
 
     @classmethod
     def load(cls, path) -> "HnswIndex":

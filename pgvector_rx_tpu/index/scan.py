@@ -17,6 +17,7 @@ via graph/device.py and is validated against this host path.
 from __future__ import annotations
 
 import heapq
+import os
 from typing import Optional
 
 import numpy as np
@@ -28,6 +29,7 @@ from ..constants import (
     HNSW_ITERATIVE_SCAN_STRICT,
 )
 from ..graph import host
+from ..utils.stats import ScanStats
 
 
 def get_scan_items(
@@ -36,6 +38,7 @@ def get_scan_items(
     ef_search: int,
     visited: Optional[set] = None,
     discarded: Optional[list] = None,
+    dist_many=None,
 ):
     """Algorithm 5. Returns candidates sorted nearest first."""
     if index.entry is None:
@@ -43,12 +46,13 @@ def get_scan_items(
     entry_idx = index.entry
     if index.elements[entry_idx].deleted:
         return []
+    dist_many = dist_many or index._dist_many
 
-    ep = [(float(index._dist_many(query, [entry_idx])[0]), entry_idx)]
+    ep = [(float(dist_many(query, [entry_idx])[0]), entry_idx)]
     ep_level = index.elements[entry_idx].level
 
     for lc in range(ep_level, 0, -1):
-        w = host.search_layer(index.elements, ep, 1, lc, query, index._dist_many)
+        w = host.search_layer(index.elements, ep, 1, lc, query, dist_many)
         if not w:
             return []
         ep = [w[0]]
@@ -59,14 +63,15 @@ def get_scan_items(
         ef_search,
         0,
         query,
-        index._dist_many,
+        dist_many,
         visited=visited,
         discarded=discarded,
     )
 
 
 def resume_scan_items(
-    index, query, ef_search: int, visited: set, discarded: list
+    index, query, ef_search: int, visited: set, discarded: list,
+    dist_many=None,
 ):
     """Re-enter the ground layer from discarded candidates.
 
@@ -86,7 +91,7 @@ def resume_scan_items(
         ef_search,
         0,
         query,
-        index._dist_many,
+        dist_many or index._dist_many,
         visited=visited,
         discarded=discarded,
         add_entry_to_visited=False,
@@ -138,6 +143,16 @@ class HnswScan:
         # candidates, scan.rs:420-437); we dedupe — a strict improvement
         # that keeps iterative scans exactly-once.
         self._emitted: set = set()
+        # EXPLAIN ANALYZE analog (scan.rs:718-729, SURVEY §5): distances
+        # computed, nodes visited, tuples out, resume re-entries
+        self.scan_stats = ScanStats()
+        _dm = index._dist_many
+
+        def _counting_dist(q, ids):
+            self.scan_stats.distances_computed += len(ids)
+            return _dm(q, ids)
+
+        self._dist_many = _counting_dist
         self.iterative = params.iterative_scan != HNSW_ITERATIVE_SCAN_OFF
         # iterative-scan memory budget (scan_mem_multiplier * work_mem):
         # estimated bytes of persistent scan state; checked before each
@@ -154,10 +169,15 @@ class HnswScan:
         ef = self.params.ef_search
         if self.iterative:
             items = get_scan_items(
-                self.index, self.query, ef, self.visited, self.discarded
+                self.index, self.query, ef, self.visited, self.discarded,
+                dist_many=self._dist_many,
             )
         else:
-            items = get_scan_items(self.index, self.query, ef)
+            items = get_scan_items(
+                self.index, self.query, ef, self.visited,
+                dist_many=self._dist_many,
+            )
+        self.scan_stats.nodes_visited = len(self.visited)
         # store nearest last
         self.results = list(reversed(items))
         self.first = False
@@ -178,6 +198,7 @@ class HnswScan:
                         if dist < self.previous_distance:
                             continue
                         self.previous_distance = dist
+                    self.scan_stats.tuples_returned += 1
                     if sqrt_out:
                         return tid, float(np.sqrt(max(dist, 0.0)))
                     return tid, dist
@@ -197,13 +218,16 @@ class HnswScan:
                     self.results.append(heapq.heappop(self.discarded))
                 else:
                     self.index.stats["resumes"] += 1
+                    self.scan_stats.resumes += 1
                     items = resume_scan_items(
                         self.index,
                         self.query,
                         self.params.ef_search,
                         self.visited,
                         self.discarded,
+                        dist_many=self._dist_many,
                     )
+                    self.scan_stats.nodes_visited = len(self.visited)
                     self.results = list(reversed(items))
                 if not self.results:
                     return None
@@ -261,10 +285,13 @@ class DeviceScan:
         self._buf_pos = 0
         self._exhausted = False
         self._seen_elems = 0
+        self.scan_stats = ScanStats()
         index.stats["scans"] += 1
 
     def _fetch(self) -> None:
         total = max(self.index.num_tuples, 1)
+        # each exact block re-sweeps every stored row
+        self.scan_stats.distances_computed += self.index.store.count
         k = min(self._block, total)
         dists, ids = self.index.search(
             np.atleast_2d(np.asarray(self.query, dtype=np.float32)),
@@ -290,11 +317,202 @@ class DeviceScan:
         while not self._buf:
             if self._exhausted:
                 return None
+            if self._buf_pos > 0:  # re-entries only (first block isn't one)
+                self.scan_stats.resumes += 1
             self.index.stats["resumes"] += 1
             self._fetch()
         tid, d = self._buf.pop(0)
         self._emitted += 1
+        self.scan_stats.tuples_returned += 1
         return tid, d
+
+    def take(self, k: int) -> list[tuple]:
+        out = []
+        while len(out) < k:
+            item = self.next()
+            if item is None:
+                break
+            out.append(item)
+        return out
+
+
+class DeviceBeamScan:
+    """Resumable DEVICE beam scan: the iterative scan for corpora past
+    the exact sweep's economics (>4M rows/chip, where beam is the only
+    engine).
+
+    Structural port of the reference's spilled-candidate resume
+    (scan.rs:538-577) to the batched device beam: each segment runs
+    the fixed-shape beam (graph/device._beam_scan_segment) which
+    CAPTURES its evicted candidates (the discarded-heap analog) in a
+    device spill buffer; emitted elements scatter into a device
+    exclusion mask (the shared visited set's role); the next segment
+    re-enters the ground layer seeded by the spill. Per-resume traffic
+    is O(ef) ids/distances — never a corpus re-sweep (DeviceScan's
+    geometric exact blocks remain the engine below the exact cutover).
+
+    Ordering: segments are internally sorted; across segments order can
+    regress exactly like the reference's relaxed_order; strict_order
+    suppresses out-of-order emissions (scan.rs:801-806).
+
+    ``filter_mask`` (element-id bool mask): masked elements consume
+    tuple budget and are dropped at emission, the reference's
+    executor-filter semantics (tests/t/043,044).
+    """
+
+    def __init__(self, index, query, params: SearchParams, filter_mask=None):
+        import jax.numpy as jnp
+
+        from ..graph import device as dm
+
+        if index.kind != "dense":
+            raise ValueError("DeviceBeamScan supports dense indexes only")
+        self.index = index
+        self.params = params
+        self.filter_mask = (
+            None if filter_mask is None else np.asarray(filter_mask, bool)
+        )
+        self._dm = dm
+        self.g = index.device_graph()
+        q = dm.prepare_queries(index, np.atleast_2d(
+            np.asarray(query, dtype=np.float32)
+        ))
+        self.q = q[0]
+        ef = max(params.ef_search, 1)
+        self._ef = ef
+        self._spill_w = max(2 * ef, 64)
+        self._max_steps = 4 * ef + 32
+        self._expand = int(os.environ.get("PGV_BEAM_EXPAND", 1))
+        self._excluded = jnp.zeros((self.g.traversable.shape[0],), jnp.bool_)
+        # first-segment seeds (padded to the spill width so every
+        # segment reuses ONE compiled program)
+        if self.g.entry < 0:
+            self._seeds = None
+            self._exhausted = True
+        else:
+            upper = dm._coarse_upper(self.g)
+            if upper is not None:
+                s_ids, s_d = dm._coarse_seed_one(
+                    self.g, self.q, upper[0], upper[1],
+                    n_seeds=min(8, ef),
+                )
+            else:
+                s_ids, s_d = dm._descent_seed_one(
+                    self.g, self.q, self.g.entry_level
+                )
+            pad = self._spill_w - s_ids.shape[0]
+            self._seeds = (
+                jnp.pad(s_ids, (0, pad), constant_values=-1),
+                jnp.pad(s_d, (0, pad), constant_values=jnp.inf),
+            )
+            self._exhausted = False
+        self._buf: list = []  # pending (dist, element id), nearest first
+        self._current: Optional[tuple] = None  # (dist, [remaining tids])
+        self._spill_host: Optional[list] = None  # drain-mode buffer
+        self._first = True
+        self.tuples = 0
+        self.previous_distance = -np.inf
+        self.scan_stats = ScanStats()
+        index.stats["scans"] += 1
+
+    def _segment(self) -> None:
+        """Run one beam segment on device; refill the host buffer."""
+        dm = self._dm
+        beam_d, beam_ids, sp_d, sp_ids, steps = dm._beam_scan_segment(
+            self.g,
+            self.q,
+            self._seeds[0],
+            self._seeds[1],
+            self._excluded,
+            self._ef,
+            self._spill_w,
+            self._max_steps,
+            self._expand,
+        )
+        # everything in the returned beam will be emitted: exclude it
+        # from future segments (one device scatter, no host round-trip
+        # of the mask)
+        self._excluded = dm._mark_excluded(self._excluded, beam_ids)
+        self._seeds = (sp_ids, sp_d)
+        d_host = np.asarray(beam_d, dtype=np.float64)
+        i_host = np.asarray(beam_ids)
+        self.scan_stats.beam_steps += int(np.asarray(steps))
+        lm0 = self.g.neighbors0.shape[1]
+        self.scan_stats.distances_computed += (
+            int(np.asarray(steps)) * self._expand * lm0
+        )
+        keep = (i_host >= 0) & np.isfinite(d_host)
+        self._buf = list(zip(d_host[keep], i_host[keep]))
+        if not self._buf:
+            # segment found nothing new: the spill is the only fuel
+            # left; if it is empty too the scan is exhausted
+            sp_ids_h = np.asarray(sp_ids)
+            if not (sp_ids_h >= 0).any():
+                self._exhausted = True
+
+    def _drain_one(self) -> None:
+        """Budget exhausted: emit spilled candidates one at a time
+        without further graph work (scan.rs:828-841 analog)."""
+        if self._spill_host is None:
+            sp_ids = np.asarray(self._seeds[0])
+            sp_d = np.asarray(self._seeds[1], dtype=np.float64)
+            keep = (sp_ids >= 0) & np.isfinite(sp_d)
+            self._spill_host = list(zip(sp_d[keep], sp_ids[keep]))
+        if self._spill_host:
+            self._buf = [self._spill_host.pop(0)]
+        else:
+            self._exhausted = True
+
+    def next(self) -> Optional[tuple]:
+        """Next (heap_tid, operator_distance) or None."""
+        sqrt_out = self.index.metric == "l2"
+        strict = self.params.iterative_scan == HNSW_ITERATIVE_SCAN_STRICT
+        iterative = self.params.iterative_scan != HNSW_ITERATIVE_SCAN_OFF
+        while True:
+            if self._current is not None:
+                dist, tids = self._current
+                if tids:
+                    tid = tids.pop()
+                    if strict:
+                        if dist < self.previous_distance:
+                            continue
+                        self.previous_distance = dist
+                    self.scan_stats.tuples_returned += 1
+                    if sqrt_out:
+                        return tid, float(np.sqrt(max(dist, 0.0)))
+                    return tid, dist
+                self._current = None
+
+            if not self._buf:
+                if self._exhausted:
+                    return None
+                if self._first and self._seeds is not None:
+                    self._first = False
+                    self._segment()  # first segment
+                elif not iterative:
+                    return None
+                elif self.tuples >= self.params.max_scan_tuples:
+                    self._drain_one()
+                else:
+                    self.index.stats["resumes"] += 1
+                    self.scan_stats.resumes += 1
+                    self._segment()
+                if not self._buf:
+                    if self._exhausted:
+                        return None
+                    continue
+
+            dist, idx = self._buf.pop(0)
+            idx = int(idx)
+            tids = self.index.heap_tids[idx]
+            if not tids:
+                continue
+            self.tuples += 1
+            if self.filter_mask is not None and not (
+                idx < len(self.filter_mask) and self.filter_mask[idx]
+            ):
+                continue  # executor-filtered tuple (budget already spent)
+            self._current = (float(dist), list(reversed(tids)))
 
     def take(self, k: int) -> list[tuple]:
         out = []
@@ -362,12 +580,15 @@ def search(index, queries, k: int, params: SearchParams, method: str = "auto",
         B = len(qlist)
         dists = np.full((B, k), np.inf, dtype=np.float64)
         ids = np.full((B, k), -1, dtype=np.int64)
+        agg = ScanStats()
         for b, q in enumerate(qlist):
             scan = HnswScan(index, q, params, filter_mask=filter_mask)
             # HnswScan already emits operator-domain distances
             for j, (tid, d) in enumerate(scan.take(k)):
                 dists[b, j] = d
                 ids[b, j] = tid
+            agg.merge(scan.scan_stats)
+        index.last_scan_stats = agg
     if single:
         return dists[0], ids[0]
     return dists, ids

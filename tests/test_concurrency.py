@@ -1,0 +1,134 @@
+"""Concurrent insert/search/delete stress — the t/016_hnsw_inserts analog.
+
+The reference proves >=997/1000 inserted rows stay reachable under 20
+concurrent pgbench clients (016:63-70; elements may lose all in-edges
+when concurrent back-edge prunes race). Here writers serialize through
+the index writer lock (the UPDATE_LOCK analog, insert.rs:1291-1313)
+while searches run lock-free and optimistic, so the same contract must
+hold under interleaved Python threads.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from pgvector_rx_tpu.config import SearchParams
+from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+
+def _stress(idx, data, n_writers: int, base_tid: int):
+    """n_writers insert threads + search threads + a delete thread."""
+    n = len(data)
+    per = n // n_writers
+    errors = []
+    stop = threading.Event()
+
+    def writer(w):
+        try:
+            lo = w * per
+            for i in range(lo, lo + per):
+                idx.insert(data[i], base_tid + i)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def searcher():
+        rng = np.random.default_rng(123)
+        try:
+            while not stop.is_set():
+                q = data[rng.integers(0, n)]
+                idx.search(q, 5, SearchParams(ef_search=24), method="host")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def deleter():
+        # delete pre-seeded rows (disjoint from the inserted set)
+        try:
+            for t in range(0, 40, 4):
+                idx.delete([t])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    threads += [threading.Thread(target=searcher) for _ in range(2)]
+    threads += [threading.Thread(target=deleter)]
+    for t in threads:
+        t.start()
+    for t in threads[: n_writers]:
+        t.join()
+    for t in threads[n_writers + 2 :]:
+        t.join()
+    stop.set()
+    for t in threads[n_writers : n_writers + 2]:
+        t.join()
+    assert not errors, errors
+
+
+def _reachable(idx, data, base_tid: int, ef: int = 200) -> int:
+    found = 0
+    for i, row in enumerate(data):
+        _, tids = idx.search(row, 10, SearchParams(ef_search=ef),
+                             method="host")
+        if base_tid + i in set(int(t) for t in tids):
+            found += 1
+    return found
+
+
+class TestConcurrentInserts:
+    def test_016_analog_host(self):
+        """1000 rows, 8 concurrent writers + readers + a deleter:
+        >=997/1000 reachable (016:70)."""
+        rng = np.random.default_rng(60)
+        seed = rng.standard_normal((200, 24)).astype(np.float32)
+        idx = HnswIndex.build(seed, metric="l2", method="host", seed=61)
+        scans_before = idx.stats["scans"]
+
+        data = rng.standard_normal((1000, 24)).astype(np.float32)
+        _stress(idx, data, n_writers=8, base_tid=10_000)
+        assert idx.num_tuples >= 200 - 10 + 1000
+
+        found = _reachable(idx, data, 10_000)
+        assert found >= 997, f"only {found}/1000 inserted rows reachable"
+        # pgstat numscans parity: the searcher threads counted scans
+        assert idx.stats["scans"] > scans_before
+        # vacuum after the stress leaves the graph healthy
+        idx.vacuum()
+        found = _reachable(idx, data, 10_000)
+        assert found >= 997
+
+    def test_016_analog_native_built(self):
+        """Concurrent host inserts into a NATIVE-built graph (the C++
+        engine's output must accept interleaved writers identically)."""
+        from pgvector_rx_tpu import native
+
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        rng = np.random.default_rng(62)
+        seed = rng.standard_normal((300, 16)).astype(np.float32)
+        idx = HnswIndex.build(seed, metric="l2", method="native", seed=63)
+        data = rng.standard_normal((400, 16)).astype(np.float32)
+        _stress(idx, data, n_writers=4, base_tid=20_000)
+        found = _reachable(idx, data, 20_000)
+        assert found >= 0.997 * len(data)
+
+    def test_writer_lock_serializes_tid_assignment(self):
+        """Auto-assigned TIDs must stay unique under concurrent
+        writers (num_tuples read + insert is atomic under the lock)."""
+        rng = np.random.default_rng(64)
+        idx = HnswIndex.build(
+            rng.standard_normal((50, 8)).astype(np.float32),
+            metric="l2", method="host", seed=65,
+        )
+        rows = rng.standard_normal((200, 8)).astype(np.float32)
+
+        def writer(w):
+            for i in range(w * 50, (w + 1) * 50):
+                idx.insert(rows[i])  # tid=None: auto-assign
+
+        threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        all_tids = [t for tl in idx.heap_tids for t in tl]
+        assert len(all_tids) == len(set(all_tids)) == 250
