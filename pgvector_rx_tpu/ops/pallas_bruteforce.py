@@ -294,6 +294,133 @@ def binned_sweep_topk(
     return jnp.where(bad, jnp.inf, true_d), jnp.where(bad, -1, si)
 
 
+# ---------------------------------------------------------------------------
+# Packed tile-min sweep (streaming-selection experiment, DESIGN.md §7d)
+# ---------------------------------------------------------------------------
+
+
+def _tilemin_kernel(q_ref, x_ref, a_ref, out_ref, *, tn: int):
+    """Grid = (B tiles, N tiles). Each step emits ONE packed int32 per
+    (query, corpus-tile): the tile's min score with the winning column
+    OR-ed into the mantissa's low 10 bits.
+
+    The selection epilogue is the measured bound of the approx sweep
+    (DESIGN.md 6e), so this kernel spends the absolute minimum VPU work
+    per score element: assemble (1 op) + OR col (1 op) + min-reduce
+    (~1 op). Scores arrive pre-shifted POSITIVE (a' = a + shift), so
+    their f32 bit patterns order like ints and one integer min carries
+    the id along. OR-ing without clearing the low bits perturbs
+    ranking only on ties at ~13-bit mantissa resolution — the same
+    regime as bf16 scoring noise, and the final [B, k] columns are
+    exact-rescored anyway.
+
+    Output block is [tb, 1] per grid step (no running [tb, tn] VMEM
+    rewrite like the binned kernel — that write traffic was half its
+    per-element cost).
+    """
+    qx2 = jax.lax.dot_general(
+        q_ref[:],  # pre-scaled by 2: dot yields 2 q.x
+        x_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = a_ref[:] - qx2  # [tb, tn], > 0 by the caller's shift
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    # clear the mantissa's low 10 bits (id field) before OR-ing the
+    # column in: the min must carry a CLEAN id. Quantizes scores to
+    # ~13 mantissa bits — under bf16 scoring noise, and the final
+    # [B, k] columns are exact-rescored by the engine anyway.
+    packed = (
+        jax.lax.bitcast_convert_type(scores, jnp.int32)
+        & jnp.int32(~0x3FF)
+    ) | col
+    # out block is [1, tb] (tile-major): minor dim = tb keeps the
+    # write lane-aligned; the caller transposes once at the end
+    out_ref[:] = jnp.min(packed, axis=1)[None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "tb", "tn", "interpret")
+)
+def tilemin_sweep_topk(
+    base,  # [N, D] bf16 (or f32) corpus rows
+    a,  # [N] f32: x2 (l2) or 0 (ip/cosine), +inf/big on excluded rows
+    queries,  # [B, D] f32
+    k: int,
+    metric: str,  # "l2" | "ip" | "cosine"
+    tb: int = 256,
+    tn: int = 1024,
+    interpret: bool = False,
+):
+    """Fused bf16 sweep + per-tile packed min -> (order dists, ids).
+
+    One winner per tn-row corpus tile (selection loss ~ (k-1)/(2·N/tn),
+    the binned kernel's regime with bins = tiles); the [B, N/tn] packed
+    mins reduce with one small top_k, and callers exact-rescore the
+    final [B, k] columns (engine contract). Excluded rows must carry
+    a >= _NEG_BIG.
+    """
+    n, d = base.shape
+    b = queries.shape[0]
+    pb = (-b) % tb
+    pn = (-n) % tn
+    pd = (-d) % 128
+    q32 = jnp.pad(queries.astype(jnp.float32), ((0, pb), (0, pd)))
+    q = (2.0 * q32).astype(jnp.bfloat16)  # fold the 2x into the operand
+    x = jnp.pad(base.astype(jnp.bfloat16), ((0, pn), (0, pd)))
+    # shift scores positive: |2 q.x| <= q2 + x2 elementwise-bounded
+    x2 = jnp.sum(
+        x.astype(jnp.float32) * x.astype(jnp.float32), axis=1
+    )
+    q2 = jnp.sum(q32 * q32, axis=1)
+    shift = jnp.max(x2) + jnp.max(q2) + 1.0
+    af = jnp.pad(a.astype(jnp.float32), (0, pn), constant_values=_NEG_BIG)
+    # keep the big-penalty sentinel: shifted dead rows stay >= _NEG_BIG
+    av = jnp.where(af >= _NEG_BIG * 0.5, af, af + shift)[None, :]
+
+    grid = (q.shape[0] // tb, x.shape[0] // tn)
+    nc = x.shape[0] // tn
+    dp = d + pd
+    packed = pl.pallas_call(
+        functools.partial(_tilemin_kernel, tn=tn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, dp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, dp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nc, q.shape[0]), jnp.int32),
+        interpret=interpret,
+    )(q, x, av)
+    packed = packed.T  # [qpad, nc]
+
+    kk = min(k, nc)
+    neg, slot = jax.lax.top_k(-packed[:b], kk)  # smallest packed ints
+    v = -neg
+    sd = jax.lax.bitcast_convert_type(v & ~jnp.int32(0x3FF), jnp.float32)
+    sd = sd - shift
+    si = slot * tn + (v & jnp.int32(0x3FF))
+    bad = (sd >= _NEG_BIG * 0.5) | (si >= n)
+    if kk < k:
+        padk = k - kk
+        sd = jnp.pad(sd, ((0, 0), (0, padk)), constant_values=jnp.inf)
+        si = jnp.pad(si, ((0, 0), (0, padk)), constant_values=-1)
+        bad = jnp.pad(bad, ((0, 0), (0, padk)), constant_values=True)
+    if metric == "l2":
+        q2b = q2[:b, None]
+        true_d = jnp.maximum(sd + q2b, 0.0)
+    elif metric == "ip":
+        true_d = sd * 0.5
+    else:  # cosine over pre-normalized rows
+        true_d = 1.0 + jnp.clip(sd * 0.5, -1.0, 1.0)
+    return jnp.where(bad, jnp.inf, true_d), jnp.where(bad, -1, si)
+
+
 def available() -> bool:
     """True when the current default backend can run the compiled kernel."""
     try:

@@ -111,6 +111,13 @@ def main():
         else:
             groups.append((w, [(start, size)]))
 
+    # stop early once this many elements are committed (0 = run all):
+    # lets big-N probes measure the big-cap STATIC SHAPES (beam steps,
+    # upper sweep width) without paying for the whole build
+    import os
+
+    stop_elems = int(os.environ.get("PGV_PROBE_STOP_ELEMS", 0))
+    done = 0
     for w, batches in groups:
         if w in (131072, 65536, 0):
             split_timed(batches, w, f"w={w}")
@@ -124,6 +131,11 @@ def main():
             split_timed(batches, eff, f"w=-1(eff={eff})")
         else:
             run_group(batches, w)
+        done += sum(z for _, z in batches)
+        if stop_elems and done >= stop_elems:
+            print(f"[probe] stopping at {done} elems", file=sys.stderr,
+                  flush=True)
+            break
 
 
 if __name__ == "__main__":

@@ -142,6 +142,60 @@ class TestBinnedSweep:
         assert ((i[:, 3:] == -1) & np.isinf(d[:, 3:])).all()
         assert (i[:, :3] >= 0).all() and (i[:, :3] < 3).all()
 
+    @pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+    def test_tilemin_ids_and_distances(self, rng, metric):
+        """Packed tile-min sweep: one winner per corpus tile, ids packed
+        into the mantissa's low bits — returned ids must be real rows
+        and their distances the true (bf16-scored) values."""
+        from pgvector_rx_tpu.ops.pallas_bruteforce import tilemin_sweep_topk
+
+        base = rng.standard_normal((2000, 24)).astype(np.float32)
+        q = rng.standard_normal((6, 24)).astype(np.float32)
+        if metric == "cosine":
+            base /= np.linalg.norm(base, axis=1, keepdims=True)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+        a = (base.astype(np.float32) ** 2).sum(1) if metric == "l2" else (
+            np.zeros(2000, np.float32)
+        )
+        d, i = tilemin_sweep_topk(
+            jnp.asarray(base), jnp.asarray(a), jnp.asarray(q), 5, metric,
+            tb=16, tn=128, interpret=INTERPRET,
+        )
+        d, i = np.asarray(d), np.asarray(i)
+        assert ((i >= 0) & (i < 2000)).all()
+        true = self._bf16_gt(base, q, metric)
+        # packing noise ~ shift * 2^-13 on top of bf16 scoring noise
+        np.testing.assert_allclose(
+            d, np.take_along_axis(true, i, axis=1), rtol=3e-2, atol=5e-2
+        )
+        assert (np.diff(d, axis=1) >= -1e-5).all()
+        gt_i = np.argsort(true, axis=1, kind="stable")[:, :5]
+        rec = np.mean([len(set(i[b]) & set(gt_i[b])) / 5 for b in range(6)])
+        assert rec >= 0.5, rec  # tile collisions at 16 tiles x k=5
+
+    def test_tilemin_mask_and_short_nc(self, rng):
+        from pgvector_rx_tpu.ops.pallas_bruteforce import (
+            _NEG_BIG,
+            tilemin_sweep_topk,
+        )
+
+        base = rng.standard_normal((512, 16)).astype(np.float32)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        live = rng.random(512) < 0.5
+        a = (base ** 2).sum(1).astype(np.float32) + np.where(
+            live, 0.0, _NEG_BIG
+        ).astype(np.float32)
+        d, i = tilemin_sweep_topk(
+            jnp.asarray(base), jnp.asarray(a), jnp.asarray(q), 8, "l2",
+            tb=16, tn=128, interpret=INTERPRET,
+        )
+        d, i = np.asarray(d), np.asarray(i)
+        valid = i >= 0
+        assert valid[:, :2].all()  # 4 tiles, plenty of live rows
+        assert live[i[valid]].all(), "masked rows must never be returned"
+        # k=8 > nc=4 tiles: tail pads invalid
+        assert ((i[:, 4:] == -1) & np.isinf(d[:, 4:])).all()
+
     def test_hamming_is_l2_on_bits(self, rng):
         """The bit approx fast path maps hamming onto the l2 surrogate:
         hamming(q, x) == ||q - x||^2 for 0/1 vectors, with a = row
