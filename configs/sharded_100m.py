@@ -70,11 +70,23 @@ def main():
     devices = np.array(jax.devices()[:8])
     mesh = Mesh(devices, ("shard",))
 
+    # per-shard-STREAMED input (the 100M deployment path): each shard's
+    # partition is produced on demand — at full scale this would read
+    # from the embedding producer / sharded files, and no process ever
+    # holds the 51 GB corpus. Here the demo source is the in-memory
+    # array, sliced as zero-copy strided views.
+    def part(s, n_shards):
+        return data[s::n_shards]
+
+    def part_ids(s, n_shards):
+        return np.arange(s, n, n_shards)
+
     t0 = time.time()
     idx = ShardedHnswIndex.build(
-        data,
+        part,
         n_shards=8,
         metric="l2",
+        ids=part_ids,
         mesh=mesh,
         method="device" if n >= 160_000 else "host",
         host_graph=n < 160_000,

@@ -242,6 +242,16 @@ def _upper_unpack(comb: jax.Array, m: int, mp2: int):
     return ids, d.reshape(R, L * m)
 
 
+@jax.jit
+def _gather_sub_table(up_vecs, slots):
+    """Per-layer sub-table rows gathered from the upper vector matrix
+    on device (zero row-upload; only the [P_l] slot column uploads).
+    Pad slots point at a zero row, so x2 pads are 0 and the colmask
+    (ids == cap sentinel) is what excludes them."""
+    v = up_vecs[slots]
+    return v, jnp.sum(v * v, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "idw", "dw"))
 def _init_combined(rows: int, idw: int, dw: int) -> jax.Array:
     """Fresh combined adjacency: idw id cols of -1 + dw packed-inf cols
@@ -344,6 +354,13 @@ class BuildData(NamedTuple):
     upper_x2: jax.Array  # [U+1] f32
     upper_ids: jax.Array  # [U+1] int32 element id per slot (pad=cap)
     upper_level_masks: jax.Array  # [LMAX, U+1] bool (level >= layer)
+    # per-layer sub-tables for layers >= 2: (ids, vectors, x2) over the
+    # ~N/m^(l-1) elements with level >= l. Layer-l candidate selection
+    # scores ITS OWN narrow table instead of a full-width masked pass
+    # over the layer-1 table — at 10M rows the LMAX x [*, 1M] masked
+    # selection passes were the single largest per-batch cost (~60ms of
+    # 171ms, probe 2026-08-19); layer-2+ tables are 16x..4096x narrower
+    upper_sub: tuple = ()  # ((ids [P_l], vecs [P_l, D], x2 [P_l]), ...)
 
 
 # ---------------------------------------------------------------------------
@@ -595,6 +612,11 @@ class DeviceBuilder:
         # dominant cold-start cost of the build.
         granule = max(4096, _next_pow2(n + 1) // 8)
         cap_pad = -(-(n + 1) // granule) * granule
+        # debugging floor: emulate a bigger corpus's STATIC shapes
+        # (beam step count, array capacities) with a small-n build —
+        # lets probes attribute big-N per-batch cost without paying
+        # for a full big build (probe_phase.py)
+        cap_pad = max(cap_pad, int(os.environ.get("PGV_BUILD_CAP_FLOOR", 0)))
         self.cap = cap_pad - 1  # dump row index (scatter sink / gather pad)
 
         # deterministic max level per size bucket: level counts above
@@ -660,7 +682,10 @@ class DeviceBuilder:
             )
         ups = np.nonzero(levels >= 1)[0]
         self.n_upper = len(ups)
-        upper_pad = _next_pow2(self.n_upper + 1)
+        upper_pad = max(
+            _next_pow2(self.n_upper + 1),
+            int(os.environ.get("PGV_BUILD_UPPER_FLOOR", 0)),
+        )
         self.upper_dump = upper_pad - 1  # dump slot for upper scatters
         # Upper slots are assigned in SHUFFLED order (fixed seed:
         # deterministic builds), not element order: committed elements
@@ -746,6 +771,26 @@ class DeviceBuilder:
             vec_buf = self.vectors
             bf_buf = self.vectors.astype(jnp.bfloat16)
             x2_buf = _x2(self.vectors)
+        # per-layer sub-tables for layers >= 2 (see BuildData.upper_sub):
+        # ids/slots derive from the host levels array; rows gather on
+        # device from the upper vector matrix (no row upload). Each
+        # layer gets its own fixed-seed shuffle — same density argument
+        # as the main table's shuffled slots.
+        upper_sub = []
+        up_levels_host = levels[ups] if self.n_upper else levels[:0]
+        for lc in range(2, self.lmax + 1):
+            sel = np.nonzero(up_levels_host >= lc)[0]  # indices into ups
+            pad_l = max(128, _next_pow2(len(sel) + 1))
+            perm_l = np.random.default_rng(0xA953 + lc).permutation(
+                max(len(sel), 1)
+            )[: len(sel)].astype(np.int32)
+            ids_l = np.full(pad_l, self.cap, dtype=np.int32)
+            slots_l = np.full(pad_l, self.upper_dump, dtype=np.int32)
+            if len(sel):
+                ids_l[perm_l] = ups[sel]
+                slots_l[perm_l] = perm[sel]  # slot of ups[i] is perm[i]
+            v_l, x2_l = _gather_sub_table(up_vecs_j, jnp.asarray(slots_l))
+            upper_sub.append((jnp.asarray(ids_l), v_l, x2_l))
         self.data = BuildData(
             vectors=vec_buf,
             vectors_bf16=bf_buf,
@@ -758,6 +803,7 @@ class DeviceBuilder:
             upper_level_masks=(
                 up_masks_j if device_input else jnp.asarray(up_masks)
             ),
+            upper_sub=tuple(upper_sub),
         )
         _imark("build-data")
         self._search_jit = jax.jit(
@@ -1164,35 +1210,59 @@ class DeviceBuilder:
             u_colmask[None, :] & cvalid[:, None], u_scores_c, jnp.inf
         )
 
-        def per_upper_layer(lmask):
-            s_l = jnp.where(lmask[None, :], u_scores_c, jnp.inf)
-            if width_u >= _APPROX_TOPK_MIN:
-                d_p, slot_p = jax.lax.approx_min_k(
-                    s_l, pool, recall_target=0.98
-                )
-            else:
-                neg_d, slot_p = jax.lax.top_k(-s_l, pool)
-                d_p = -neg_d
-            if extra > 0:
-                stride = max((pool - kku) // extra, 1)
+        def pool_to_selection(d_p, slot_p, ids_table):
+            if extra > 0 and d_p.shape[1] > kku:
+                stride = max((d_p.shape[1] - kku) // extra, 1)
                 take = np.concatenate(
                     [
                         np.arange(kku),
                         kku + stride * np.arange(extra),
                     ]
                 ).astype(np.int32)
+                take = np.minimum(take, d_p.shape[1] - 1)
                 d_l = d_p[:, take]
                 slot_idx = slot_p[:, take]
             else:
                 d_l, slot_idx = d_p, slot_p
-            c_idx = u_ids[slot_idx]
+            c_idx = ids_table[slot_idx]
             return self._candidates_to_selection(
                 data, d_l, c_idx, alpha=self.alpha_upper
             )
 
-        selu_d_c, selu_ids_c = jax.lax.map(
-            per_upper_layer, data.upper_level_masks
-        )  # [LMAX, RU2, lm0]
+        # layer 1: masked pass over the full upper table (every level>=1
+        # element is a candidate). Layers >= 2 score their OWN narrow
+        # sub-tables (data.upper_sub) — the old LMAX full-width masked
+        # passes re-read the [RU2, width_u] score matrix per layer and
+        # were the dominant per-batch cost at 10M (probe 2026-08-19).
+        if width_u >= _APPROX_TOPK_MIN:
+            d_p1, slot_p1 = jax.lax.approx_min_k(
+                u_scores_c, pool, recall_target=0.98
+            )
+        else:
+            neg_d1, slot_p1 = jax.lax.top_k(-u_scores_c, pool)
+            d_p1 = -neg_d1
+        sel_layers = [pool_to_selection(d_p1, slot_p1, u_ids)]
+
+        for lc in range(2, self.lmax + 1):
+            ids_l, v_l, x2_l = data.upper_sub[lc - 2]
+            P_l = ids_l.shape[0]
+            s_l = self._score_all(data, q_rows[order_u], v_l, x2_l)
+            colmask_l = (ids_l < count) & alive[jnp.clip(ids_l, 0, self.cap)]
+            s_l = jnp.where(
+                colmask_l[None, :] & cvalid[:, None], s_l, jnp.inf
+            )
+            kk_l = min(kku, P_l)
+            if P_l >= _APPROX_TOPK_MIN:
+                d_pl, slot_pl = jax.lax.approx_min_k(
+                    s_l, kk_l, recall_target=0.98
+                )
+            else:
+                neg_dl, slot_pl = jax.lax.top_k(-s_l, kk_l)
+                d_pl = -neg_dl
+            sel_layers.append(pool_to_selection(d_pl, slot_pl, ids_l))
+
+        selu_d_c = jnp.stack([d for d, _ in sel_layers])  # [LMAX, RU2, lm0]
+        selu_ids_c = jnp.stack([i for _, i in sel_layers])
 
         # scatter compacted upper selections back to batch rows
         scat = jnp.where(cvalid, order_u, B)

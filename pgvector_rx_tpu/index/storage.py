@@ -117,13 +117,21 @@ def load(path, replay: bool = True):
     z = np.load(path / "arrays.npz")
     n = int(meta["n_elements"])
 
+    if n > 2_000_000:
+        import warnings
+
+        warnings.warn(
+            f"loading a host-graph checkpoint of {n} elements "
+            "materializes per-element Python objects (minutes at this "
+            "scale); prefer serving-only checkpoints "
+            "(build(host_graph=False)) for large serving corpora",
+            stacklevel=2,
+        )
     # store rows. NOTE: hoist every z[...] access out of loops — NpzFile
     # re-decompresses the WHOLE array on each __getitem__, which turns a
     # per-row loop into O(n^2) decompression (minutes-to-hours at 1M).
     if meta["kind"] in ("dense", "bit"):
-        rows = z["rows"]
-        for i in range(n):
-            index.store.append(rows[i])
+        index.store.bulk_load(z["rows"])
     else:
         pad = index.store.PAD
         sp_i, sp_v = z["sp_indices"], z["sp_values"]
@@ -131,28 +139,34 @@ def load(path, replay: bool = True):
             keep = sp_i[i] != pad
             index.store.append((sp_i[i][keep], sp_v[i][keep]))
 
-    # elements
-    levels, versions, deleted = z["levels"], z["versions"], z["deleted"]
-    nb_ids, nb_dists, nb_counts = z["nb_ids"], z["nb_dists"], z["nb_counts"]
+    # elements — plain-Python lists up front: per-element numpy scalar
+    # boxing in the hot loop was the measured cost of host-graph loads
+    levels = z["levels"].tolist()
+    versions = z["versions"].tolist()
+    deleted = z["deleted"].tolist()
+    nb_ids = z["nb_ids"].tolist()
+    nb_dists = z["nb_dists"].tolist()
+    nb_counts = z["nb_counts"].tolist()
     ci = 0  # index into nb_counts
     off = 0  # index into nb_ids/nb_dists
     for i in range(n):
-        e = GraphElement(level=int(levels[i]), version=int(versions[i]))
-        e.deleted = bool(deleted[i])
-        for lc in range(int(levels[i]) + 1):
-            cnt = int(nb_counts[ci])
+        e = GraphElement(level=levels[i], version=versions[i])
+        e.deleted = deleted[i]
+        for lc in range(levels[i] + 1):
+            cnt = nb_counts[ci]
             ci += 1
-            e.neighbors[lc] = [
-                (float(nb_dists[off + j]), int(nb_ids[off + j])) for j in range(cnt)
-            ]
+            e.neighbors[lc] = list(
+                zip(nb_dists[off : off + cnt], nb_ids[off : off + cnt])
+            )
             off += cnt
         index.elements.append(e)
 
-    tid_flat, tid_counts = z["tid_flat"], z["tid_counts"]
+    tid_flat = z["tid_flat"].tolist()
+    tid_counts = z["tid_counts"].tolist()
     toff = 0
     for i in range(n):
-        cnt = int(tid_counts[i])
-        index.heap_tids.append([int(t) for t in tid_flat[toff : toff + cnt]])
+        cnt = tid_counts[i]
+        index.heap_tids.append(tid_flat[toff : toff + cnt])
         toff += cnt
 
     index.entry = meta["entry"]
@@ -346,13 +360,14 @@ def _load_serving(meta, path: Path):
             words[:n] = pack_bits(bits)
         value_kwargs = dict(words=jnp.asarray(words))
     else:
+        from ..graph.device import _serve_dtype_for, _serve_value_arrays
+
         values = np.zeros((n + 1, meta["dim"]), dtype=np.float32)
         values[:n] = z["rows"].astype(np.float32)
-        v = jnp.asarray(values)
-        value_kwargs = dict(
-            values=v,
-            x2=jnp.sum(v * v, axis=1),
-            values_bf16=v.astype(jnp.bfloat16),
+        # dtype-native serving policy applies on reload too (halfvec
+        # checkpoints come back as one f16 array, not the f32 pair)
+        value_kwargs = _serve_value_arrays(
+            jnp.asarray(values), _serve_dtype_for(index)
         )
     index.serving_only = True
     index.entry = int(meta["entry"]) if int(meta["entry"]) >= 0 else None
