@@ -351,6 +351,7 @@ class BuildData(NamedTuple):
     # candidate generation scores against THESE rows only instead of
     # re-sweeping (and re-top_k'ing) the full corpus per layer
     upper_vectors: jax.Array  # [U+1, D] f32
+    upper_bf16: jax.Array  # [U+1, D] bf16 (MXU sweep copy; see 6f)
     upper_x2: jax.Array  # [U+1] f32
     upper_ids: jax.Array  # [U+1] int32 element id per slot (pad=cap)
     upper_level_masks: jax.Array  # [LMAX, U+1] bool (level >= layer)
@@ -798,6 +799,7 @@ class DeviceBuilder:
             levels=self.levels,
             upper_slot=self.upper_slot,
             upper_vectors=up_vecs_j,
+            upper_bf16=up_vecs_j.astype(jnp.bfloat16),
             upper_x2=up_x2_dev if device_input else _x2(up_vecs_j),
             upper_ids=up_ids_j if device_input else jnp.asarray(up_ids),
             upper_level_masks=(
@@ -866,6 +868,66 @@ class DeviceBuilder:
         return jnp.moveaxis(parts, 0, 1).reshape(q_rows.shape[0], -1)[
             :, :n_rows
         ]
+
+    def _upper_order_scores(self, data: BuildData, q_chunk, a_col):
+        """[Bq, width_u] ORDER scores over the upper table — the serving
+        engines' sweep recipe (graph/device._exact_scores): bf16 matmul
+        with f32 accumulation, dead columns excluded by an inf fold in
+        the per-column term `a_col` (l2: x2+pen, others: pen alone), and
+        per-query constants (q2, the cosine 1- offset) omitted — scores
+        are monotone in true distance per query, NOT the distance;
+        callers must exact-rescore the selected columns. The old f32
+        _score_all + full-width where-mask pass was ~4x the HBM/MXU
+        cost and was the dominant upper_pad-scaled per-batch cost at
+        the 10M shape (probe 2026-08-19)."""
+        if self.metric == "l1":
+            return (
+                self._score_all(
+                    data, q_chunk, data.upper_vectors, data.upper_x2
+                )
+                + a_col[None, :]
+            )
+        dots = jax.lax.dot_general(
+            q_chunk.astype(jnp.bfloat16),
+            data.upper_bf16,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if self.metric == "l2":
+            return a_col[None, :] - 2.0 * dots
+        if self.metric == "jacbits":
+            # the jaccard transform needs true h per column, so the
+            # penalty cannot ride the x2 term (inf/inf = NaN); bf16
+            # dots are exact here (popcount-scale integers), the
+            # epilogue adds the penalty after the transform
+            q2 = jnp.sum(q_chunk * q_chunk, axis=1, keepdims=True)
+            h = jnp.maximum(q2 + data.upper_x2[None, :] - 2.0 * dots, 0.0)
+            return (
+                _l2_to_jaccard(h, q2, data.upper_x2[None, :])
+                + a_col[None, :]
+            )
+        return a_col[None, :] - dots  # ip / cosine (rows unit-normed)
+
+    def _dist_point_rows(self, q_rows, rows):
+        """True f32 distances q_rows [B, D] -> rows [B, K, D]: the exact
+        rescore for order-score pools (direct differences — no matmul-
+        identity cancellation error)."""
+        if self.metric in ("l2", "jacbits"):
+            dlt = rows - q_rows[:, None, :]
+            h = jnp.sum(dlt * dlt, axis=-1)
+            if self.metric == "jacbits":
+                return _l2_to_jaccard(
+                    h,
+                    jnp.sum(q_rows, axis=1, keepdims=True),
+                    jnp.sum(rows, axis=-1),
+                )
+            return h
+        if self.metric == "l1":
+            return jnp.sum(jnp.abs(rows - q_rows[:, None, :]), axis=-1)
+        dots = jnp.sum(rows * q_rows[:, None, :], axis=-1)
+        if self.metric == "ip":
+            return -dots
+        return 1.0 - jnp.clip(dots, -1.0, 1.0)
 
     def _candidates_to_selection(self, data, cand_d, cand_idx,
                                  alpha: float | None = None):
@@ -1070,6 +1132,27 @@ class DeviceBuilder:
         u_colmask = (u_ids < count) & alive[jnp.clip(u_ids, 0, self.cap)]
         kku = min(self.efc, width_u)
 
+        # stratified upper candidate pool (experimental, default OFF —
+        # measured to hurt at 1M together with alpha_upper): the kku
+        # nearest PLUS a strided sample of the next ~3*kku ranks.
+        stratify = int(os.environ.get("PGV_BUILD_UPPER_STRATIFY", 0))
+        pool = min(4 * kku, width_u) if stratify else kku
+        extra = min(kku // 2, pool - kku) if pool > kku else 0
+
+        # Compact the batch rows that have upper layers at all (P(level
+        # >= 1) = 1/m): per-layer selection runs on ~B*4/m rows instead
+        # of B. Overflow beyond the 4x-margin budget silently drops that
+        # row's upper selection (degraded edges, not corruption);
+        # P(overflow) is astronomically small.
+        RU2 = min(B, max(B * 4 // max(self.m, 1), 32))
+        has_up = (my_level >= 1) & batch_mask
+        order_u = jnp.argsort(~has_up)[:RU2]  # stable: active rows first
+
+        # dead-column fold for the upper order-score sweeps (serving
+        # recipe — see _upper_order_scores)
+        u_pen = jnp.where(u_colmask, 0.0, jnp.inf)
+        a_col = data.upper_x2 + u_pen if self.metric == "l2" else u_pen
+
         # ---- layer 0 candidates
         if width != 0:
             # exact sweep over the committed prefix bucket, in query
@@ -1125,22 +1208,30 @@ class DeviceBuilder:
             S = min(16, width_u - 1, max(self.efc - 1, 1))
             SP = max(S, self.ivf_probes) if self.ivf else S
             SP = min(SP, width_u)
+            # MERGED upper scan: ONE pass over the [*, width_u] table
+            # yields both the descent seeds (first SP cols, all rows)
+            # and the layer-1 candidate pool (first `pool` cols of the
+            # level>=1 rows). Previously seeds and layer-1 candidates
+            # each ran their own full-width f32 score+mask+select pass
+            # — the dominant upper_pad-scaled per-batch cost at the
+            # 10M shape (probe 2026-08-19). The sweep itself is the
+            # serving recipe: bf16 order scores with the mask folded
+            # into the per-column term, then an exact f32 rescore of
+            # the KK winners (inf sentinels pass through).
+            KK = min(max(SP, pool), width_u)
 
             def seed_chunk(q_chunk):
-                sc = self._score_all(
-                    data, q_chunk, data.upper_vectors, data.upper_x2
-                )
-                sc = jnp.where(u_colmask[None, :], sc, jnp.inf)
+                sc = self._upper_order_scores(data, q_chunk, a_col)
                 # exact top_k over a 64k-wide row costs several ms;
-                # seeds only need to land in the right region (the
+                # pools only need to land in the right region (the
                 # shuffled upper-slot assignment keeps approx_min_k's
                 # positional reduction statistically sound)
                 if width_u >= _APPROX_TOPK_MIN:
                     d, slots = jax.lax.approx_min_k(
-                        sc, SP, recall_target=0.95
+                        sc, KK, recall_target=0.98
                     )
                     return d, slots
-                neg, slots = jax.lax.top_k(-sc, SP)
+                neg, slots = jax.lax.top_k(-sc, KK)
                 return -neg, slots
 
             CQ = 256 if (B % 256 == 0 and width_u > (1 << 17)) else B
@@ -1148,10 +1239,21 @@ class DeviceBuilder:
                 sd_c, sl_c = jax.lax.map(
                     seed_chunk, q_rows.reshape(-1, CQ, self.dim)
                 )
-                seed_sc = sd_c.reshape(B, SP)
-                seed_slots = sl_c.reshape(B, SP)
+                ord_all = sd_c.reshape(B, KK)
+                slots_all = sl_c.reshape(B, KK)
             else:
-                seed_sc, seed_slots = seed_chunk(q_rows)
+                ord_all, slots_all = seed_chunk(q_rows)
+            # exact f32 rescore + re-sort (order scores rank well but
+            # Alg-4 selection and the beam need true distance VALUES,
+            # sorted ascending)
+            sel_rows = data.upper_vectors[slots_all]  # [B, KK, D]
+            d_exact = self._dist_point_rows(q_rows, sel_rows)
+            d_exact = jnp.where(jnp.isfinite(ord_all), d_exact, jnp.inf)
+            d_all, slots_all = jax.lax.sort(
+                [d_exact, slots_all], num_keys=1
+            )
+            seed_sc = d_all[:, :SP]
+            seed_slots = slots_all[:, :SP]
             if self.ivf:
                 cand_d, cand_idx = self._ivf_ground_candidates(
                     data, arrays, q_rows, seed_sc, seed_slots
@@ -1187,28 +1289,32 @@ class DeviceBuilder:
             )
         sel0_d, sel0_ids = self._candidates_to_selection(data, cand_d, cand_idx)
 
-        # stratified upper candidate pool (experimental, default OFF —
-        # measured to hurt at 1M together with alpha_upper): the kku
-        # nearest PLUS a strided sample of the next ~3*kku ranks.
-        stratify = int(os.environ.get("PGV_BUILD_UPPER_STRATIFY", 0))
-        pool = min(4 * kku, width_u) if stratify else kku
-        extra = min(kku // 2, pool - kku) if pool > kku else 0
-
-        # Compact the batch rows that have upper layers at all (P(level
-        # >= 1) = 1/m): per-layer top-k + selection run on ~B*4/m rows
-        # instead of B. Overflow beyond the 4x-margin budget silently
-        # drops that row's upper selection (degraded edges, not
-        # corruption); P(overflow) is astronomically small.
-        RU2 = min(B, max(B * 4 // max(self.m, 1), 32))
-        has_up = (my_level >= 1) & batch_mask
-        order_u = jnp.argsort(~has_up)[:RU2]  # stable: active rows first
         cvalid = has_up[order_u]
-        u_scores_c = self._score_all(
-            data, q_rows[order_u], data.upper_vectors, data.upper_x2
-        )  # [RU2, width_u] — scored for the compacted rows only
-        u_scores_c = jnp.where(
-            u_colmask[None, :] & cvalid[:, None], u_scores_c, jnp.inf
-        )
+        if width != 0:
+            # ramp arm: no merged scan ran — the layer-1 pool gets its
+            # own order-score pass over the upper table (compacted
+            # rows only), then the same exact rescore as the descent
+            # arm's merged scan
+            u_scores_c = self._upper_order_scores(
+                data, q_rows[order_u], a_col
+            )  # [RU2, width_u]
+            if width_u >= _APPROX_TOPK_MIN:
+                o_p1, slot_p1 = jax.lax.approx_min_k(
+                    u_scores_c, pool, recall_target=0.98
+                )
+            else:
+                neg_d1, slot_p1 = jax.lax.top_k(-u_scores_c, pool)
+                o_p1 = -neg_d1
+            r_rows = data.upper_vectors[slot_p1]  # [RU2, pool, D]
+            r_d = self._dist_point_rows(q_rows[order_u], r_rows)
+            r_d = jnp.where(jnp.isfinite(o_p1), r_d, jnp.inf)
+            d_p1, slot_p1 = jax.lax.sort([r_d, slot_p1], num_keys=1)
+        else:
+            # descent arm: the layer-1 pool is the merged scan's rows
+            # for the level>=1 batch rows (junk pools on non-cvalid
+            # rows scatter to the dump row downstream)
+            d_p1 = d_all[order_u][:, :pool]
+            slot_p1 = slots_all[order_u][:, :pool]
 
         def pool_to_selection(d_p, slot_p, ids_table):
             if extra > 0 and d_p.shape[1] > kku:
@@ -1229,18 +1335,13 @@ class DeviceBuilder:
                 data, d_l, c_idx, alpha=self.alpha_upper
             )
 
-        # layer 1: masked pass over the full upper table (every level>=1
-        # element is a candidate). Layers >= 2 score their OWN narrow
-        # sub-tables (data.upper_sub) — the old LMAX full-width masked
-        # passes re-read the [RU2, width_u] score matrix per layer and
-        # were the dominant per-batch cost at 10M (probe 2026-08-19).
-        if width_u >= _APPROX_TOPK_MIN:
-            d_p1, slot_p1 = jax.lax.approx_min_k(
-                u_scores_c, pool, recall_target=0.98
-            )
-        else:
-            neg_d1, slot_p1 = jax.lax.top_k(-u_scores_c, pool)
-            d_p1 = -neg_d1
+        # layer 1: pool over the full upper table (every level>=1
+        # element is a candidate) — from the merged scan in the descent
+        # arm, its own pass in the ramp arm. Layers >= 2 score their
+        # OWN narrow sub-tables (data.upper_sub) — the old LMAX
+        # full-width masked passes re-read the [RU2, width_u] score
+        # matrix per layer and were the dominant per-batch cost at 10M
+        # (probe 2026-08-19).
         sel_layers = [pool_to_selection(d_p1, slot_p1, u_ids)]
 
         for lc in range(2, self.lmax + 1):
