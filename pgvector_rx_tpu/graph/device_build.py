@@ -72,6 +72,15 @@ _DESCENT_MIN_WIDTH = int(os.environ.get("PGV_BUILD_DESCENT_MIN", 65536))
 _STREAM_MIN_BYTES = int(os.environ.get("PGV_BUILD_STREAM_MIN", 64 << 20))
 _STREAM_CHUNK_BYTES = int(os.environ.get("PGV_BUILD_STREAM_CHUNK", 64 << 20))
 
+# Debug-only cost attribution: comma-separated block names skipped at
+# TRACE time ("be0", "beu", "fwdupc"). Builds with a non-empty value
+# produce WRONG graphs — this exists solely so probe runs can ablate
+# commit sub-steps inside the real fused pipeline (per-block standalone
+# timing through the tunnel is polluted by per-dispatch overhead).
+_ABLATE = frozenset(
+    filter(None, os.environ.get("PGV_BUILD_ABLATE", "").split(","))
+)
+
 
 # batches folded into one device program dispatch (see _bucket_program).
 # The dev harness's tunnel charges ~0.5s per program dispatch no matter
@@ -954,6 +963,7 @@ class DeviceBuilder:
     def _beam_ground_candidates(
         self, data: BuildData, nb0c, alive, entry, q_rows, seed_d,
         seed_ids, steps: int, expand: int, dedup: bool = True,
+        merge: str = "sort",
     ):
         """Ground-layer candidate generation by batched beam descent.
 
@@ -1007,6 +1017,103 @@ class DeviceBuilder:
                 jnp.where(seed_ids_all >= 0, seed_ids_all * 2 + 1, -2)
             )
             init_d = init_d.at[:S].set(s_d).at[S].set(e_d)
+
+            if merge == "rank":
+                # Rank-merge: keep the beam SORTED by distance as a loop
+                # invariant and fold each step's E*lm0 new candidates in
+                # by pairwise-comparison ranking — small [E, W]/[E, E]
+                # compare+reduce matrices on the VPU — instead of two
+                # full [W+E*lm0]-wide lax.sorts (the measured per-step
+                # hot spot). Tie policy: beam entries precede new ones
+                # at equal distance, beam order by position, new order
+                # by (distance, index) — a strict total order, so ranks
+                # are a collision-free permutation and the scatter
+                # rebuilds a sorted beam directly.
+                ent_dup = jnp.any(s_ids == entry)
+                init_d = init_d.at[S].set(
+                    jnp.where(ent_dup, jnp.inf, e_d)
+                )
+                init_key = init_key.at[S].set(
+                    jnp.where(ent_dup, -2, entry * 2 + 1)
+                )
+                init_d, init_key = jax.lax.sort(
+                    [init_d, init_key], num_keys=1
+                )
+                iota_w = jnp.arange(W, dtype=jnp.int32)
+
+                def body_rank(_, st):
+                    bd, bkey = st
+                    unexp = jnp.where(
+                        (bkey >= 0) & (bkey & 1 == 1), bd, jnp.inf
+                    )
+                    _, pos = jax.lax.top_k(-unexp, expand)
+                    sel_ok = jnp.isfinite(unexp[pos])
+                    bkey2 = bkey.at[pos].set(
+                        jnp.where(sel_ok, bkey[pos] & ~1, bkey[pos])
+                    )
+                    u = jnp.where(sel_ok, bkey2[pos] >> 1, -1)
+                    nbrs = nb0c[jnp.clip(u, 0, cap)][:, : self.lm0]
+                    nbrs = jnp.where(
+                        (u >= 0)[:, None], nbrs, -1
+                    ).reshape(-1)
+                    safe = jnp.clip(nbrs, 0, cap)
+                    ok = (nbrs >= 0) & alive[safe]
+                    rows = data.vectors_bf16[safe].astype(jnp.float32)
+                    d_new = jnp.where(ok, dist_to(q, rows), jnp.inf)
+                    key_new = jnp.where(ok, nbrs * 2 + 1, -2)
+                    E = key_new.shape[0]
+                    idx_e = jnp.arange(E, dtype=jnp.int32)
+                    ids_new = key_new >> 1
+                    ids_beam = bkey2 >> 1
+                    # dedup: a new candidate whose id is already in the
+                    # beam (either parity — the resident copy wins, the
+                    # lax.sort path's key order gives the same outcome)
+                    # or earlier in this step's batch goes to +inf
+                    dup_beam = jnp.any(
+                        (ids_new[:, None] == ids_beam[None, :])
+                        & (bkey2[None, :] >= 0),
+                        axis=1,
+                    )
+                    dup_new = jnp.any(
+                        (ids_new[None, :] == ids_new[:, None])
+                        & (key_new[None, :] >= 0)
+                        & (idx_e[None, :] < idx_e[:, None]),
+                        axis=1,
+                    )
+                    d_new = jnp.where(dup_beam | dup_new, jnp.inf, d_new)
+                    # ranks in the merged order (beam wins distance ties)
+                    rank_beam = iota_w + jnp.sum(
+                        d_new[:, None] < bd[None, :], axis=0
+                    )
+                    le_beam = jnp.sum(
+                        bd[None, :] <= d_new[:, None], axis=1
+                    )
+                    lt_new = (d_new[None, :] < d_new[:, None]) | (
+                        (d_new[None, :] == d_new[:, None])
+                        & (idx_e[None, :] < idx_e[:, None])
+                    )
+                    rank_new = le_beam + jnp.sum(lt_new, axis=1)
+                    pos_b = jnp.minimum(rank_beam, W)
+                    pos_n = jnp.minimum(rank_new, W)
+                    sd = (
+                        jnp.full((W + 1,), jnp.inf, jnp.float32)
+                        .at[pos_b].set(bd)
+                        .at[pos_n].set(d_new)
+                    )
+                    sk = (
+                        jnp.full((W + 1,), -2, jnp.int32)
+                        .at[pos_b].set(bkey2)
+                        .at[pos_n].set(key_new)
+                    )
+                    return sd[:W], sk[:W]
+
+                bd, bkey = jax.lax.fori_loop(
+                    0, steps, body_rank, (init_d, init_key)
+                )
+                bids = jnp.where(
+                    jnp.isfinite(bd) & (bkey >= 0), bkey >> 1, -1
+                )
+                return bd, bids
 
             def body(_, st):
                 bd, bkey = st
@@ -1270,10 +1377,15 @@ class DeviceBuilder:
                 # measured at 1M (bench 2026-08-17): 16 steps holds the
                 # 20/28/40/64-step beam recall (0.9841 vs 0.9842 at
                 # ef=40) at 10.7k vec/s steady; 14 steps drops recall
-                # to 0.9830. Scale mildly with capacity above 16M.
+                # to 0.9830. The upper-sweep seeds land near-optimal,
+                # so the remaining walk length barely grows with N:
+                # at the 10.5M-cap shape, 16 steps holds candidate
+                # recall@16 within 0.0007 of 19 steps while saving
+                # ~11ms/batch (probe_beam 2026-08-19) — scale with
+                # capacity only VERY mildly above 8M.
                 steps = int(
                     os.environ.get("PGV_BUILD_BEAM_STEPS", 0)
-                ) or max(16, int(math.log2(self.cap + 1)) - 4)
+                ) or max(16, int(math.log2(self.cap + 1)) - 6)
                 expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
                 dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
                 cand_d, cand_idx = self._beam_ground_candidates(
@@ -1543,19 +1655,9 @@ class DeviceBuilder:
             ),
             alive=arrays.alive.at[fwd_target].set(True).at[dump].set(False),
         )
-        slot = data.upper_slot[jnp.clip(new_ids, 0, self.cap)]
-        starget = jnp.where(alive & (slot >= 0), slot, self.upper_dump)
-        # [B, LMAX, m] block scatter of all upper layers at once
-        arrays = arrays._replace(
-            upc=arrays.upc.at[starget].set(
-                _upper_pack(
-                    sel_ids[:, 1:, : self.m].reshape(B, -1),
-                    sel_d[:, 1:, : self.m].reshape(B, -1),
-                    self.m,
-                    self.mp2,
-                )
-            ),
-        )
+        # NOTE: the new elements' forward upper rows are written by
+        # _backedge_upper_compact (one combined row scatter — scatters
+        # pay a ~7ms flat cost each on HBM-resident tables, probe_upc3)
         # IVF member table: append each kept row to its nearest cell
         # (same-cell rows within the batch serialize by rank-in-group;
         # rows past the cell cap drop membership — they keep their
@@ -1716,9 +1818,12 @@ class DeviceBuilder:
         the valid requests are compacted on device (stable argsort on
         validity) into a fixed budget of 2*B rows — overflow beyond the
         budget is statistically negligible (expected load is
-        B*m/(m-1)). Requests are grouped by (layer, target) with a
+        B*m/(m-1)). Requests are grouped by (target, layer) with a
         3-key sort; pads use tgt=cap / layer=LMAX+7 so they group last
-        and scatter to the dump row.
+        and scatter to the dump row. All writes — every touched
+        target's merged full row plus the batch's own forward upper
+        rows — leave in ONE row-granular scatter (see the in-body
+        comments for the probe-measured scatter cost model).
         """
         B = self.batch_max
         dump = self.cap
@@ -1753,13 +1858,20 @@ class DeviceBuilder:
         lm = self.m
         K = min(lm, int(os.environ.get("PGV_BUILD_BE_K", 4)))
         dump_slot = self.upper_dump
-        s_layer, s_tgt, s_d, s_src = jax.lax.sort(
-            [u_layer, u_tgt, u_dst, u_src], num_keys=3
+        mp2 = self.mp2
+        lmax = self.lmax
+        # TARGET-primary sort so each target's per-layer groups are
+        # adjacent — the whole pass scatters FULL rows, and full rows
+        # must merge every layer a target is touched at in this batch
+        s_tgt, s_layer, s_d, s_src = jax.lax.sort(
+            [u_tgt, u_layer, u_dst, u_src], num_keys=3
         )
         valid = s_tgt < self.cap
         iota = jax.lax.broadcasted_iota(jnp.int32, (RU, 1), 0)[:, 0]
-        same_prev = (s_tgt[1:] == s_tgt[:-1]) & (s_layer[1:] == s_layer[:-1])
-        head = jnp.concatenate([jnp.array([True]), ~same_prev]) & valid
+        same_t = s_tgt[1:] == s_tgt[:-1]
+        same_tl = same_t & (s_layer[1:] == s_layer[:-1])
+        head_tl = jnp.concatenate([jnp.array([True]), ~same_tl]) & valid
+        head_t = jnp.concatenate([jnp.array([True]), ~same_t]) & valid
 
         win = jnp.minimum(iota[:, None] + jnp.arange(K)[None, :], RU - 1)
         same = (s_tgt[win] == s_tgt[:, None]) & (s_layer[win] == s_layer[:, None])
@@ -1768,22 +1880,24 @@ class DeviceBuilder:
 
         slot = data.upper_slot[jnp.clip(s_tgt, 0, self.cap)]
         slot_c = jnp.clip(slot, 0, dump_slot)
-        lidx = jnp.clip(s_layer - 1, 0, self.lmax - 1)
-        # combined per-(slot, layer) columns: m id cols + mp2 packed
-        # dist cols (see _upper_pack layout) — ONE gather / ONE scatter
-        mp2 = self.mp2
-        ucols = jnp.concatenate(
-            [
-                lidx[:, None] * self.m + jnp.arange(self.m)[None, :],
-                self.lmax * self.m
-                + lidx[:, None] * mp2
-                + jnp.arange(mp2)[None, :],
-            ],
-            axis=1,
-        )  # [RU, m + mp2]
-        old_comb = upc[slot_c[:, None], ucols]
-        old_ids = old_comb[:, : self.m]
-        old_d = _unpack_bf16_pairs(old_comb[:, self.m :])[:, : self.m]
+        lidx = jnp.clip(s_layer - 1, 0, lmax - 1)
+        # FULL-row gather (the per-(slot, layer) computed-column gather/
+        # scatter pair was the dominant upper-scaled commit cost: XLA
+        # lowers computed-column scatters per ELEMENT at ~1us each —
+        # 49k elements = 43.9ms at upper_pad=1M — while row-granular
+        # scatters cost ~7ms FLAT regardless of row count; probe_upc*
+        # 2026-08-19). Each row's own layer's old list is extracted
+        # with an in-register take_along_axis.
+        rows_old = upc[slot_c]  # [RU, lmax*(m+mp2)]
+        idsb = rows_old[:, : lmax * lm].reshape(RU, lmax, lm)
+        old_ids = jnp.take_along_axis(
+            idsb, lidx[:, None, None], axis=1
+        )[:, 0]
+        pkb = rows_old[:, lmax * lm :].reshape(RU, lmax, mp2)
+        old_pk = jnp.take_along_axis(
+            pkb, lidx[:, None, None], axis=1
+        )[:, 0]
+        old_d = _unpack_bf16_pairs(old_pk)[:, :lm]
 
         cand_ids = jnp.concatenate([old_ids, add_ids], axis=1)  # [RU, lm+K]
         cand_d = jnp.concatenate([old_d, add_d], axis=1)
@@ -1801,10 +1915,66 @@ class DeviceBuilder:
             cand_d, cand_ids, pair, lm, self.alpha_upper
         )
 
-        sslot = jnp.where(head & (slot >= 0), slot_c, dump_slot)
-        return upc.at[sslot[:, None], ucols].set(
-            _upper_pack(nids, nd, self.m, mp2)
+        # ---- merge each target's per-layer new lists into ONE full row
+        # via a group cumsum: every (target, layer) head contributes its
+        # packed list in its layer's column block (zeros elsewhere, at
+        # most one nonzero per group per column, so the segment SUM is
+        # the value — exact for raw int32 bit patterns, and int32
+        # prefix-sum wraparound cancels in the end-start difference)
+        comb = _upper_pack(nids, nd, lm, mp2)  # [RU, lm + mp2]
+        lay_onehot = (
+            jnp.arange(lmax, dtype=jnp.int32)[None, :] == lidx[:, None]
+        ) & head_tl[:, None]  # [RU, lmax]
+        contrib_ids = jnp.where(
+            lay_onehot[:, :, None], comb[:, None, :lm], 0
+        ).reshape(RU, lmax * lm)
+        contrib_pk = jnp.where(
+            lay_onehot[:, :, None], comb[:, None, lm:], 0
+        ).reshape(RU, lmax * mp2)
+        contrib = jnp.concatenate([contrib_ids, contrib_pk], axis=1)
+        cs = jnp.cumsum(contrib, axis=0)
+        pres_cs = jnp.cumsum(lay_onehot.astype(jnp.int32), axis=0)
+        # last row of each target group (nearest marked position >= p)
+        is_last_t = jnp.concatenate(
+            [s_tgt[1:] != s_tgt[:-1], jnp.array([True])]
         )
+        end_pos = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(is_last_t, iota, RU - 1), reverse=True
+        )
+        wc = contrib.shape[1]
+        cs_prev = jnp.concatenate(
+            [jnp.zeros((1, wc), jnp.int32), cs[:-1]], axis=0
+        )
+        group = cs[end_pos] - cs_prev  # valid at head_t rows
+        pres_prev = jnp.concatenate(
+            [jnp.zeros((1, lmax), jnp.int32), pres_cs[:-1]], axis=0
+        )
+        pres = (pres_cs[end_pos] - pres_prev) > 0  # [RU, lmax]
+        mask_cols = jnp.concatenate(
+            [
+                jnp.repeat(pres, lm, axis=1),
+                jnp.repeat(pres, mp2, axis=1),
+            ],
+            axis=1,
+        )
+        new_rows = jnp.where(mask_cols, group, rows_old)
+        sslot = jnp.where(head_t & (slot >= 0), slot_c, dump_slot)
+
+        # ---- forward upper edges of the batch's new elements share the
+        # same scatter (their slot rows are disjoint from back-edge
+        # targets — sel ids are always < start): full fresh rows, no
+        # merge needed
+        if "fwdupc" not in _ABLATE:
+            slot_new = data.upper_slot[jnp.clip(new_ids, 0, self.cap)]
+            starget = jnp.where(
+                alive & (slot_new >= 0), slot_new, dump_slot
+            )
+            fwd_rows = _upper_pack(
+                lay_ids.reshape(B, -1), lay_d.reshape(B, -1), lm, mp2
+            )
+            sslot = jnp.concatenate([sslot, starget])
+            new_rows = jnp.concatenate([new_rows, fwd_rows], axis=0)
+        return upc.at[sslot].set(new_rows)
 
     def _commit_all_step(self, data: BuildData, arrays: BuildArrays, start,
                          size, sel_d, sel_ids, assign=None):
@@ -1815,12 +1985,16 @@ class DeviceBuilder:
         a = self._fwd_commit_step(
             data, arrays, start, size, sel_d, sel_ids, assign
         )
-        nb0c = self._backedge0_step(
-            data, a.nb0c, a.alive, start, size, sel_d, sel_ids,
-        )
-        upc = self._backedge_upper_compact(
-            data, a.upc, a.alive, start, size, sel_d, sel_ids,
-        )
+        nb0c = a.nb0c
+        if "be0" not in _ABLATE:
+            nb0c = self._backedge0_step(
+                data, a.nb0c, a.alive, start, size, sel_d, sel_ids,
+            )
+        upc = a.upc
+        if "beu" not in _ABLATE:
+            upc = self._backedge_upper_compact(
+                data, a.upc, a.alive, start, size, sel_d, sel_ids,
+            )
         return a._replace(nb0c=nb0c, upc=upc)
 
     def _bucket_program(self, data: BuildData, arrays: BuildArrays,

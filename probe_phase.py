@@ -42,7 +42,12 @@ def main():
     levels = np.minimum(
         np.floor(-np.log(levels_rng.random(n)) * ml).astype(np.int32), 30
     )
-    b = DeviceBuilder("l2", data, levels, m, 64)
+    import os
+
+    b = DeviceBuilder(
+        "l2", data, levels, m, 64,
+        batch_max=int(os.environ.get("PGV_BUILD_BATCH", 0)) or 1024,
+    )
     b.seed_first(0)
 
     def sync():

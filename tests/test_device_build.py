@@ -294,6 +294,57 @@ def test_descent_build_small_efc(monkeypatch):
     assert (np.asarray(ids)[:, 0] == np.arange(8)).all()
 
 
+def test_beam_merge_rank_matches_sort(monkeypatch):
+    """The rank-merge descent beam (pairwise-comparison ranking over a
+    sorted-beam invariant) must produce bit-identical candidates to the
+    lax.sort merge on tie-free data — same dedup semantics, same
+    expansion choices, step for step."""
+    import jax.numpy as jnp
+
+    from pgvector_rx_tpu.graph import device_build
+    from pgvector_rx_tpu.graph.device_build import (
+        DeviceBuilder,
+        batch_schedule,
+    )
+
+    monkeypatch.setattr(device_build, "_DESCENT_MIN_WIDTH", 2048)
+    rng = np.random.default_rng(5)
+    n = 5000
+    dim = 16
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    ml = 1.0 / np.log(8)
+    levels = np.minimum(
+        np.floor(-np.log(rng.random(n)) * ml).astype(np.int32), 30
+    )
+    b = DeviceBuilder("l2", data, levels, 8, 32)
+    b.seed_first(0)
+    sched = batch_schedule(n, b.batch_max)
+    cut = [i for i, (s, z) in enumerate(sched) if s + 1 > b.descent_min]
+    b.run_all(sched[: cut[0] + 1])
+    start = sched[cut[0] + 1][0]
+
+    B = b.batch_max
+    qi = rng.integers(0, start, size=B)
+    q_rows = jnp.asarray(data[qi])
+    S = 8
+    seed_ids = rng.permutation(start)[:S][None, :].repeat(B, axis=0)
+    d = ((data[qi][:, None, :] - data[seed_ids[0]][None]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1)
+    seed_d = jnp.asarray(np.take_along_axis(d, order, 1))
+    seed_ids = jnp.asarray(np.take_along_axis(seed_ids, order, 1))
+
+    outs = {}
+    for merge in ("sort", "rank"):
+        bd, bids = b._beam_ground_candidates(
+            b.data, b.arrays.nb0c, b.arrays.alive, b.arrays.entry,
+            q_rows, seed_d, seed_ids, steps=8, expand=4, dedup=True,
+            merge=merge,
+        )
+        outs[merge] = (np.asarray(bd), np.asarray(bids))
+    np.testing.assert_array_equal(outs["sort"][1], outs["rank"][1])
+    np.testing.assert_array_equal(outs["sort"][0], outs["rank"][0])
+
+
 def test_packed_adjacency_roundtrip():
     """The combined id+bf16-dist layout (one scatter per graph mutation)
     must round-trip bit-exactly, including the odd-m upper padding."""
