@@ -1388,9 +1388,10 @@ class DeviceBuilder:
                 ) or max(16, int(math.log2(self.cap + 1)) - 6)
                 expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
                 dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
+                merge = os.environ.get("PGV_BUILD_BEAM_MERGE", "sort")
                 cand_d, cand_idx = self._beam_ground_candidates(
                     data, arrays.nb0c, alive, arrays.entry, q_rows,
-                    seed_d, seed_ids, steps, expand, dedup,
+                    seed_d, seed_ids, steps, expand, dedup, merge,
                 )
             # membership assignment for the IVF table: nearest committed
             # upper cell (upper_dump = none/invalid)
