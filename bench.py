@@ -159,6 +159,11 @@ def main():
 
     from pgvector_rx_tpu.graph import device as device_mod
     from pgvector_rx_tpu.index.hnsw import HnswIndex
+    from pgvector_rx_tpu.utils.profiling import trace
+
+    # PGV_PROFILE=<dir>: capture an xprof trace of the build + serving
+    # device work (the EXPLAIN ANALYZE analog at the XLA level)
+    profile_dir = os.environ.get("PGV_PROFILE")
 
     # Default to the device-resident corpus (the TPU-native production
     # story: embeddings are produced by a model on the same chip, the
@@ -211,10 +216,11 @@ def main():
             data_dev = None  # ownership moves to the build
         log("building index (batched device build)...")
         t0 = time.time()
-        index = HnswIndex.build(
-            build_input, metric="l2", method="device", seed=1,
-            host_graph=False, consume_input=consume,
-        )
+        with trace(profile_dir and os.path.join(profile_dir, "build")):
+            index = HnswIndex.build(
+                build_input, metric="l2", method="device", seed=1,
+                host_graph=False, consume_input=consume,
+            )
         del build_input
         build_s = time.time() - t0
         build_rate = n / build_s
@@ -255,7 +261,10 @@ def main():
         """One-dispatch sweep over the staged queries: (recall, qps)."""
         device_mod.serve_topk(index, queries_dev, k, engine=engine)  # warm
         t0 = time.time()
-        _, ids = device_mod.serve_topk(index, queries_dev, k, engine=engine)
+        with trace(profile_dir and os.path.join(profile_dir, engine)):
+            _, ids = device_mod.serve_topk(
+                index, queries_dev, k, engine=engine
+            )
         dt = time.time() - t0
         rec = recall_of(ids)
         qps = n_q / dt

@@ -1388,7 +1388,24 @@ class DeviceBuilder:
                 ) or max(16, int(math.log2(self.cap + 1)) - 6)
                 expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
                 dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
+                # NOTE: like steps/expand/dedup above, merge is read at
+                # TRACE time inside the jitted build path — toggling it
+                # same-process without jax.clear_caches() reuses the
+                # first arm's cached program (CLAUDE.md env-toggle trap).
                 merge = os.environ.get("PGV_BUILD_BEAM_MERGE", "sort")
+                if merge not in ("sort", "rank"):
+                    raise ValueError(
+                        f"PGV_BUILD_BEAM_MERGE={merge!r}: must be 'sort' "
+                        "or 'rank'"
+                    )
+                if merge == "rank" and not dedup:
+                    # the rank merge's pairwise ranking is only a
+                    # permutation under per-step dedup; honor the knob
+                    # loudly instead of silently measuring the wrong arm
+                    raise ValueError(
+                        "PGV_BUILD_BEAM_DEDUP=0 is incompatible with "
+                        "PGV_BUILD_BEAM_MERGE=rank (rank always dedups)"
+                    )
                 cand_d, cand_idx = self._beam_ground_candidates(
                     data, arrays.nb0c, alive, arrays.entry, q_rows,
                     seed_d, seed_ids, steps, expand, dedup, merge,

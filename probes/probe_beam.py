@@ -14,6 +14,11 @@ of this, so equal candidate recall at lower cost is a safe swap.
 Usage: PGV_BUILD_CAP_FLOOR=10485760 python probe_beam.py [N=500000]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import math
 import os
 import sys

@@ -9,6 +9,11 @@ arm N times interleaved with the approx arm as a drift bracket.
 Usage: python probe_bitbeam.py [N] (default 1_000_000)
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import time

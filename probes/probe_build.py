@@ -4,6 +4,11 @@ Usage: PGV_BUILD_TIMING=1 python probe_build.py [N]
 Env: PGV_PROBE_DIM (128). Prints total build seconds and rate.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import time

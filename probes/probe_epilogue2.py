@@ -10,6 +10,11 @@ limit — CLAUDE.md gotcha).
 Run: python probe_epilogue2.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

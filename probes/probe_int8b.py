@@ -17,6 +17,11 @@ This probe measures epilogue variants:
 Run: python probe_int8b.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

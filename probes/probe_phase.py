@@ -10,6 +10,11 @@ Usage: python probe_phase.py [N]   (default 393216 = ramp + 2 descent
 groups' worth). Device-generated corpus (zero transfer).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

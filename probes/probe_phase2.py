@@ -8,6 +8,11 @@ search vs commit).
 Usage: python probe_phase2.py [N]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import os
 import sys

@@ -8,6 +8,11 @@ programs load slower" (bench group-1 went 18.6s r1 -> 36.2s r2).
 Usage: PGV_BUILD_TIMING=1 python probe_ramp.py [N=1000000]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import time

@@ -9,6 +9,11 @@ can anything beat XLA's fused approx_min_k PartialReduce?
 Usage: python probe_tilemin.py [N]  (default 1_000_000, device datagen)
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import time

@@ -9,6 +9,11 @@ replacements on synthetic data of the real shapes.
 Usage: python probe_upc.py [U=1048576]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

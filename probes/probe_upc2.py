@@ -4,6 +4,11 @@ copy), separating buffer-copy cost from the scatter lowering itself.
 Usage: python probe_upc2.py [U=1048576]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -5,6 +5,11 @@ count (the be0 shape scatters 32768 rows into [10.5M, 48])?
 Usage: python probe_upc3.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

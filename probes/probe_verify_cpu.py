@@ -25,6 +25,11 @@ full-corpus computation.
 Run AFTER probe_verify_tpu.py:  python probe_verify_cpu.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -13,6 +13,11 @@ implementation on INDEPENDENT hardware, not self-agreement).
 Run: python probe_verify_tpu.py [N]  (default 1,000,000)
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import time

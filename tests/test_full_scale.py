@@ -1,13 +1,42 @@
 """Full-scale build-recall suites — the tests/t/012 family at reference
-scale, on the DEVICE engines.
+scale and with the REFERENCE'S OWN data distributions, on the device
+engines.
 
-The reference proves recall@20 >= 0.99 (>= 0.97 for inner product) on
-10k random rows x 20 queries at default m=16/ef_construction=64/
-ef_search=40 for every type: 012 (vector, 3-d), 020 (bit), 024
-(halfvec), 028 (sparsevec) — `tests/t/012_hnsw_vector_build_recall.pl:94`.
-Round-1 review flagged that the fast suites run at 300-600 rows where
-HNSW recall is easier; these run the real thresholds at the real scale
-(marked slow; deselect with `-m "not slow"`).
+The reference's CI contract (10k rows x 20 queries, LIMIT 20, default
+m=16 / ef_construction=64):
+
+- 012 vector(3):    coords = random()*random(), uniform queries,
+                    ef_search=40, recall >= 0.99 (>= 0.97 for ip)
+                    (`tests/t/012_hnsw_vector_build_recall.pl:11,94`)
+- 024 halfvec(10):  coords = 2*random()*random(), uniform queries,
+                    ef_search=40, recall >= 0.98 all four metrics
+                    (`tests/t/024:11-12,97`)
+- 020 bit(52):      rows = (random()*2^52)::bigint bits, like queries,
+                    **ef_search=100**, hamming >= 0.98, jaccard >= 0.95
+                    (`tests/t/020:11,22,102`)
+- 028 sparsevec(3): DENSE 3-d rows cast to sparsevec (nnz <= 3),
+                    ef_search=40, recall >= 0.99 (>= 0.97 for ip)
+                    (`tests/t/028:11,56-59,94`)
+
+Round-2's version of this file invented its own data (uniform coords;
+1000-d sparse vectors at nnz 5-12; bit at ef=40) and was red at HEAD.
+Diagnosis (probe_fullscale.py): the HOST Algorithm-5 scan — the
+reference-parity path, bit-exact against graph/mod.rs semantics —
+scored the SAME failing recall (sparse 0.71, ip 0.9325) over the same
+graphs, so the misses were properties of the invented geometries for
+reference-semantics HNSW itself (high-dim low-nnz sparse data is a
+no-overlap tie swamp where graph descent is blind), not device-engine
+bugs. The reference never tests those geometries; these suites now
+assert exactly what its CI asserts.
+
+Bit recall is tie-aware: 52-bit hamming distances tie massively, and
+set recall vs one arbitrary ground-truth tie-break punishes returning
+a DIFFERENT-but-equidistant id. A returned id counts as correct iff
+its true distance <= the k-th ground-truth distance — the exact
+equivalence class the reference's arbitrary seqscan tie-break samples
+from. This is tight: a beam regression returning farther rows fails it.
+
+Marked slow; deselect with `-m "not slow"`.
 """
 
 import numpy as np
@@ -23,40 +52,45 @@ N, NQ, K = 10_000, 20, 20
 
 pytestmark = pytest.mark.slow
 
+VECTOR_THRESH = {"l2": 0.99, "cosine": 0.99, "l1": 0.99, "ip": 0.97}
 
-def _beam_and_approx_recall(idx, queries, gt):
-    params = SearchParams(ef_search=40)
+
+def _engine_recalls(idx, queries, gt, ef=40):
+    params = SearchParams(ef_search=ef)
     _, ids_beam = idx.search(queries, K, params, method="device")
-    r_beam = recall_at_k(ids_beam, gt, K)
     _, ids_x = idx.search(queries, K, params, method="exact")
-    r_exact = recall_at_k(ids_x, gt, K)
-    return r_beam, r_exact
+    return recall_at_k(ids_beam, gt, K), recall_at_k(ids_x, gt, K)
 
 
 class TestVector012:
     @pytest.mark.parametrize("metric", ["l2", "cosine", "ip", "l1"])
     def test_build_recall_10k(self, metric):
         rng = np.random.default_rng(101)
-        data = rng.random((N, 3)).astype(np.float32)  # 012: random 3-d
+        # 012: ARRAY[random()*random(), ...] vector(3)
+        data = (rng.random((N, 3)) * rng.random((N, 3))).astype(np.float32)
         queries = rng.random((NQ, 3)).astype(np.float32)
         idx = HnswIndex.build(data, metric=metric, method="device", seed=102)
         gt = brute_force(data, queries, metric, K)
-        r_beam, r_exact = _beam_and_approx_recall(idx, queries, gt)
-        want = 0.97 if metric == "ip" else 0.99
+        r_beam, r_exact = _engine_recalls(idx, queries, gt)
+        want = VECTOR_THRESH[metric]
         assert r_exact >= want, f"exact {metric}: {r_exact}"
         assert r_beam >= want, f"beam {metric}: {r_beam}"
 
 
 class TestHalfvec024:
-    @pytest.mark.parametrize("metric", ["l2", "cosine"])
+    @pytest.mark.parametrize("metric", ["l2", "cosine", "ip", "l1"])
     def test_build_recall_10k(self, metric):
         rng = np.random.default_rng(103)
-        data = rng.random((N, 6)).astype(np.float32)
-        queries = rng.random((NQ, 6)).astype(np.float32)
+        # 024: 2*random()*random() halfvec(10), uniform queries
+        data = (2.0 * rng.random((N, 10)) * rng.random((N, 10))).astype(
+            np.float32
+        )
+        queries = rng.random((NQ, 10)).astype(np.float32)
         idx = HnswIndex.build(
             data, metric=metric, method="device", dtype=np.float16, seed=104
         )
-        # GT against the f16-STORED values (halfvec semantics)
+        # GT against the f16-STORED values (halfvec semantics: f16
+        # storage, f32 arithmetic — halfvec.rs:687-733)
         stored = data.astype(np.float16).astype(np.float32)
         if metric == "cosine":
             # index stores normalize-then-round rows
@@ -68,24 +102,20 @@ class TestHalfvec024:
                 .astype(np.float32)
             )
         gt = brute_force(stored, queries, metric, K)
-        r_beam, r_exact = _beam_and_approx_recall(idx, queries, gt)
-        assert r_exact >= 0.99, f"exact {metric}: {r_exact}"
-        assert r_beam >= 0.99, f"beam {metric}: {r_beam}"
+        r_beam, r_exact = _engine_recalls(idx, queries, gt)
+        assert r_exact >= 0.98, f"exact {metric}: {r_exact}"
+        assert r_beam >= 0.98, f"beam {metric}: {r_beam}"
 
 
 class TestBit020:
     @pytest.mark.parametrize("metric", ["hamming", "jaccard"])
     def test_build_recall_10k(self, metric):
         rng = np.random.default_rng(105)
-        bits = rng.integers(0, 2, size=(N, 52)).astype(np.uint8)  # 020: 52 bits
-        queries = bits[rng.integers(0, N, NQ)]
+        # 020: (random() * 2^52)::bigint::bit(52) — uniform random bits
+        bits = rng.integers(0, 2, size=(N, 52)).astype(np.uint8)
+        queries = rng.integers(0, 2, size=(NQ, 52)).astype(np.uint8)
         idx = HnswIndex.build(bits, metric=metric, method="device", seed=106)
-        gt = brute_force(bits, queries, metric, K)
-        params = SearchParams(ef_search=40)
-        _, ids_x = idx.search(queries, K, params, method="exact")
-        # 52-bit hamming/jaccard tie MASSIVELY (integer distances):
-        # compare achieved distance sums, the tie-insensitive contract
-        d_got, _ = idx.search(queries, K, params, method="exact")
+
         def bit_dist(q, row):
             if metric == "hamming":
                 return float((q != row).sum())
@@ -93,43 +123,65 @@ class TestBit020:
             union = float((q | row).sum())
             return 1.0 if inter == 0 else 1.0 - inter / max(union, 1.0)
 
-        d_gt = np.sort(
-            np.stack(
-                [
-                    np.array([bit_dist(queries[b], bits[g]) for g in gt[b]])
-                    for b in range(NQ)
-                ]
-            ),
-            axis=1,
-        )
-        np.testing.assert_allclose(np.sort(d_got, axis=1), d_gt, atol=1e-6)
-        # beam engine: distance-sum regret bounded (ties make set
-        # recall meaningless at 52 bits)
-        d_beam, _ = idx.search(queries, K, params, method="device")
-        assert (np.sort(d_beam, 1)[:, :K].mean()
-                <= d_gt.mean() + (0.5 if metric == "hamming" else 0.01))
+        d_all = np.stack(
+            [
+                np.array([bit_dist(q, row) for row in bits])
+                for q in queries
+            ]
+        )  # [NQ, N] true distances
+        kth = np.sort(d_all, axis=1)[:, K - 1]  # [NQ] k-th GT distance
+
+        def tie_aware_recall(ids):
+            # a returned id is correct iff its true distance is within
+            # the ground-truth k-th distance (the tie equivalence class
+            # the reference's arbitrary seqscan tie-break samples from)
+            hits = 0
+            for b in range(NQ):
+                got = [g for g in ids[b] if g >= 0]
+                hits += sum(
+                    1 for g in got if d_all[b, g] <= kth[b] + 1e-9
+                )
+            return hits / (NQ * K)
+
+        # 020 runs at ef_search=100 (tests/t/020:22,31)
+        params = SearchParams(ef_search=100)
+        want = 0.98 if metric == "hamming" else 0.95
+        _, ids_x = idx.search(queries, K, params, method="exact")
+        assert tie_aware_recall(ids_x) >= 0.999, "exact engine"
+        _, ids_b = idx.search(queries, K, params, method="device")
+        r_beam = tie_aware_recall(ids_b)
+        assert r_beam >= want, f"beam {metric}: {r_beam}"
 
 
 class TestSparse028:
-    def test_build_recall_10k(self):
+    @pytest.mark.parametrize("metric", ["l2", "cosine", "ip", "l1"])
+    def test_build_recall_10k(self, metric):
         rng = np.random.default_rng(107)
-        dim = 1000
+        # 028: vector(3) rows (random()*random() coords) CAST to
+        # sparsevec — 3-dim sparse vectors, nnz <= 3 (zero coords drop)
+        dim = 3
+        dense = (rng.random((N, dim)) * rng.random((N, dim))).astype(
+            np.float32
+        )
         rows = []
-        dense = np.zeros((N, dim), dtype=np.float32)
         for i in range(N):
-            nnz = int(rng.integers(5, 12))
-            ii = np.sort(rng.choice(dim, size=nnz, replace=False)).astype(
-                np.int32
+            ii = np.nonzero(dense[i])[0].astype(np.int32)
+            rows.append(SparseVec(dim, ii, dense[i, ii]))
+        qdense = rng.random((NQ, dim)).astype(np.float32)
+        queries = [
+            SparseVec(
+                dim,
+                np.nonzero(q)[0].astype(np.int32),
+                q[np.nonzero(q)[0]],
             )
-            vv = (rng.random(nnz) + 0.1).astype(np.float32)
-            dense[i, ii] = vv
-            rows.append(SparseVec(dim, ii, vv))
-        queries = [rows[int(i)] for i in rng.integers(0, N, NQ)]
-        qdense = np.stack([r.to_dense() for r in queries])
-        idx = HnswIndex.build(rows, metric="l2", seed=108)
-        gt = brute_force(dense, qdense, "l2", K)
+            for q in qdense
+        ]
+        idx = HnswIndex.build(rows, metric=metric, seed=108)
+        gt = brute_force(dense, qdense, metric, K)
         params = SearchParams(ef_search=40)
+        want = VECTOR_THRESH[metric]
         _, ids = idx.search(queries, K, params, method="exact")
-        assert recall_at_k(ids, gt, K) >= 0.99
+        assert recall_at_k(ids, gt, K) >= want, "exact engine"
         _, ids_b = idx.search(queries, K, params, method="device")
-        assert recall_at_k(ids_b, gt, K) >= 0.95  # sparse ties at low nnz
+        r_beam = recall_at_k(ids_b, gt, K)
+        assert r_beam >= want, f"beam {metric}: {r_beam}"
