@@ -569,7 +569,7 @@ def _ground_beam_seeds(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ef", "spill", "max_steps", "expand")
+    jax.jit, static_argnames=("ef", "spill", "max_steps", "expand", "width")
 )
 def _beam_scan_segment(
     g: DeviceGraph,
@@ -581,6 +581,7 @@ def _beam_scan_segment(
     spill: int,
     max_steps: int,
     expand: int = 1,
+    width: int | None = None,
 ):
     """One iterative-scan segment: beam search from seed candidates
     under an exclusion mask, CAPTURING evicted candidates.
@@ -593,7 +594,18 @@ def _beam_scan_segment(
     intra-segment re-visits). Returns (beam_d [ef], beam_ids [ef],
     spill_d [spill], spill_ids [spill], steps) — beam sorted nearest
     first, spill sorted nearest first with id-dedup applied.
+
+    ``width`` (>= ef, default ef): INTERNAL beam width. The host's
+    Algorithm-2 keeps an unbounded to-expand candidate heap; a device
+    beam of exactly ef evicts boundary candidates unexpanded, so later
+    segments discover nearer items the earlier segment already emitted
+    past — order regressions that strict_order then drops
+    (scan.rs:801-806). A wider internal beam explores those candidates
+    within the segment and emits only the top-ef, so consecutive
+    segments regress rarely; the width-ef leftover is merged into the
+    spill (still fuel, never dropped).
     """
+    W = ef if width is None else max(width, ef)
     S = seed_ids.shape[0]
     safe_seed = jnp.clip(seed_ids, 0, g.cap)
     ok = (
@@ -603,15 +615,15 @@ def _beam_scan_segment(
     )
     seed_d = jnp.where(ok, seed_d, jnp.inf)
     seed_key = jnp.where(ok, seed_ids * 2 + 1, -2)
-    # nearest min(S, ef) seeds enter the beam; the overflow goes
+    # nearest min(S, W) seeds enter the beam; the overflow goes
     # straight to the spill buffer — those are the reference's
     # still-unexplored discarded candidates and must not be dropped
     seed_d, seed_key = jax.lax.sort([seed_d, seed_key], num_keys=2)
-    nb = min(S, ef)
-    beam_d = jnp.full((ef,), jnp.inf, dtype=jnp.float32).at[:nb].set(
+    nb = min(S, W)
+    beam_d = jnp.full((W,), jnp.inf, dtype=jnp.float32).at[:nb].set(
         seed_d[:nb]
     )
-    beam_key = jnp.full((ef,), -2, dtype=jnp.int32).at[:nb].set(
+    beam_key = jnp.full((W,), -2, dtype=jnp.int32).at[:nb].set(
         seed_key[:nb]
     )
     spill_d0 = jnp.full((spill,), jnp.inf, dtype=jnp.float32)
@@ -660,22 +672,35 @@ def _beam_scan_segment(
         # evicted tail -> spill buffer (the discarded-heap analog):
         # merge this step's non-survivors with the running spill,
         # keep the `spill` nearest
-        tail_d, tail_key = sd[ef:], skey[ef:]
+        tail_d, tail_key = sd[W:], skey[W:]
         m_d = jnp.concatenate([sp_d, tail_d])
         m_key = jnp.concatenate([sp_key, tail_key])
         m_d, m_key = jax.lax.sort([m_d, m_key], num_keys=2)
-        return (sd[:ef], skey[:ef], m_d[:spill], m_key[:spill], steps + 1)
+        return (sd[:W], skey[:W], m_d[:spill], m_key[:spill], steps + 1)
 
     beam_d, beam_key, sp_d, sp_key, steps = jax.lax.while_loop(
         cond, body, (beam_d, beam_key, spill_d0, spill_key0, jnp.int32(0))
     )
-    beam_ids = jnp.where(beam_key >= 0, beam_key >> 1, -1)
+    beam_ids_w = jnp.where(beam_key >= 0, beam_key >> 1, -1)
     if _rank_is_approx(g):
-        d_exact = _dist_ids(g, q, beam_ids)
-        beam_d = jnp.where(beam_ids >= 0, d_exact, jnp.inf)
-    beam_d, beam_ids = jax.lax.sort([beam_d, beam_ids], num_keys=2)
+        d_exact = _dist_ids(g, q, beam_ids_w)
+        beam_d = jnp.where(beam_ids_w >= 0, d_exact, jnp.inf)
+    beam_d, beam_ids_w, beam_key = jax.lax.sort(
+        [beam_d, beam_ids_w, beam_key], num_keys=2
+    )
+    # emit the top-ef; the width-ef leftover stays fuel — merge it into
+    # the spill (keys keep the expanded bit only for ordering; spill
+    # re-entries are re-seeded unexpanded either way)
+    beam_ids = beam_ids_w[:ef]
+    if W > ef:
+        sp_d = jnp.concatenate([sp_d, beam_d[ef:]])
+        sp_key = jnp.concatenate(
+            [sp_key, jnp.where(beam_ids_w[ef:] >= 0,
+                               beam_ids_w[ef:] * 2 + 1, -2)]
+        )
     # spill dedup: by id (nearest copy wins), drop ids that ended in the
-    # beam (they will be emitted and excluded before the next resume)
+    # emitted beam (they will be emitted and excluded before the next
+    # resume)
     sp_ids = jnp.where(sp_key >= 0, sp_key >> 1, -1)
     o_ids, o_d = jax.lax.sort([sp_ids, sp_d], num_keys=2)
     dup = jnp.concatenate(
@@ -690,8 +715,9 @@ def _beam_scan_segment(
     )
     o_d = jnp.where(dup | in_beam | (o_ids < 0), jnp.inf, o_d)
     sp_d, sp_ids = jax.lax.sort([o_d, o_ids], num_keys=2)
+    sp_d, sp_ids = sp_d[:spill], sp_ids[:spill]
     sp_ids = jnp.where(jnp.isfinite(sp_d), sp_ids, -1)
-    return beam_d, beam_ids, sp_d, sp_ids, steps
+    return beam_d[:ef], beam_ids, sp_d, sp_ids, steps
 
 
 @jax.jit

@@ -380,8 +380,18 @@ class DeviceBeamScan:
         self.q = q[0]
         ef = max(params.ef_search, 1)
         self._ef = ef
-        self._spill_w = max(2 * ef, 64)
-        self._max_steps = 4 * ef + 32
+        # internal beam wider than the emitted ef: the device analog of
+        # Algorithm 2's unbounded to-expand heap — keeps boundary
+        # candidates explorable within the segment so later segments
+        # rarely discover nearer items than ones already emitted (order
+        # regressions that strict_order must drop, scan.rs:801-806).
+        # Width 4x measured on the 044 50k contract: strict_order
+        # recall 0.93-0.985 -> >=0.99 (probes/probe_beamscan_width.py)
+        self._width = max(
+            ef * int(os.environ.get("PGV_BEAM_SCAN_WIDTH_MULT", 4)), ef
+        )
+        self._spill_w = max(2 * ef, 64) + (self._width - ef)
+        self._max_steps = 4 * self._width + 32
         self._expand = int(os.environ.get("PGV_BEAM_EXPAND", 1))
         self._excluded = jnp.zeros((self.g.traversable.shape[0],), jnp.bool_)
         # first-segment seeds (padded to the spill width so every
@@ -428,6 +438,7 @@ class DeviceBeamScan:
             self._spill_w,
             self._max_steps,
             self._expand,
+            self._width,
         )
         # everything in the returned beam will be emitted: exclude it
         # from future segments (one device scatter, no host round-trip
