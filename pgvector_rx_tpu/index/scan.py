@@ -419,14 +419,20 @@ class DeviceBeamScan:
         self._buf: list = []  # pending (dist, element id), nearest first
         self._current: Optional[tuple] = None  # (dist, [remaining tids])
         self._spill_host: Optional[list] = None  # drain-mode buffer
+        self._pending = None  # dispatched-but-undownloaded segment
         self._first = True
         self.tuples = 0
         self.previous_distance = -np.inf
         self.scan_stats = ScanStats()
         index.stats["scans"] += 1
 
-    def _segment(self) -> None:
-        """Run one beam segment on device; refill the host buffer."""
+    def _segment_dispatch(self) -> None:
+        """Issue one beam segment on device WITHOUT downloading results
+        (jax dispatch is async). The scan state (seeds, exclusion mask)
+        advances immediately as device arrays, so multiple scans over
+        DIFFERENT devices (ShardedScan's shard-per-chip streams) can
+        all be in flight at once — init/resume latency becomes
+        max-over-shards instead of sum-over-shards."""
         dm = self._dm
         beam_d, beam_ids, sp_d, sp_ids, steps = dm._beam_scan_segment(
             self.g,
@@ -445,6 +451,28 @@ class DeviceBeamScan:
         # of the mask)
         self._excluded = dm._mark_excluded(self._excluded, beam_ids)
         self._seeds = (sp_ids, sp_d)
+        self._pending = (beam_d, beam_ids, sp_ids, steps)
+
+    def prefetch(self) -> None:
+        """Dispatch the next segment if one would be needed, without
+        blocking on its results (ShardedScan calls this on every shard
+        before pulling any — the reference's scan has no analog; its
+        backends are independently parallel by construction)."""
+        if (
+            self._pending is None
+            and not self._exhausted
+            and not self._buf
+            and self._seeds is not None
+        ):
+            self._first = False
+            self._segment_dispatch()
+
+    def _segment(self) -> None:
+        """Run one beam segment on device; refill the host buffer."""
+        if self._pending is None:
+            self._segment_dispatch()
+        beam_d, beam_ids, sp_ids, steps = self._pending
+        self._pending = None
         d_host = np.asarray(beam_d, dtype=np.float64)
         i_host = np.asarray(beam_ids)
         self.scan_stats.beam_steps += int(np.asarray(steps))
@@ -497,7 +525,9 @@ class DeviceBeamScan:
             if not self._buf:
                 if self._exhausted:
                     return None
-                if self._first and self._seeds is not None:
+                if self._pending is not None:
+                    self._segment()  # consume a prefetched dispatch
+                elif self._first and self._seeds is not None:
                     self._first = False
                     self._segment()  # first segment
                 elif not iterative:

@@ -422,6 +422,14 @@ class ShardedScan:
         # per-shard scans; "auto" picks DeviceScan for serving-only
         # shards (exactly ordered) and HnswScan otherwise
         self._scans = [s.scan(query, params) for s in index.shards]
+        # issue every shard's first device segment BEFORE blocking on
+        # any (each shard's graph lives on its own device, so the S
+        # dispatches execute concurrently; init latency is the slowest
+        # shard, not the sum — round-2 review ask #6)
+        for sc in self._scans:
+            prefetch = getattr(sc, "prefetch", None)
+            if prefetch is not None:
+                prefetch()
         self._heap: list = []
         for i, sc in enumerate(self._scans):
             item = sc.next()
