@@ -87,6 +87,43 @@ class TestGoldenTypeIO:
         assert BitVec.from_text("10110").to_text() == "10110"
 
 
+class TestGoldenHalfvec:
+    """The pg_regress hnsw_halfvec.out scenarios, value for value
+    (`/root/reference/tests/pg_regress/expected/hnsw_halfvec.out`):
+    build an index over ['[0,0,0]','[1,2,3]','[1,1,1]'] (the NULL row
+    has no analog — NULLs are never indexed), insert '[1,2,4]', then
+    scan by distance to '[3,3,3]' and compare the full emitted order.
+    Cosine omits the zero-norm row (build.rs:426-438 skip)."""
+
+    EXPECTED = {
+        "l2": ["[1,2,3]", "[1,2,4]", "[1,1,1]", "[0,0,0]"],
+        "ip": ["[1,2,4]", "[1,2,3]", "[1,1,1]", "[0,0,0]"],
+        "cosine": ["[1,1,1]", "[1,2,3]", "[1,2,4]"],
+        "l1": ["[1,2,3]", "[1,2,4]", "[1,1,1]", "[0,0,0]"],
+    }
+
+    @pytest.mark.parametrize("metric", ["l2", "ip", "cosine", "l1"])
+    def test_halfvec_out(self, metric):
+        from pgvector_rx_tpu.types import HalfVec
+
+        texts = ["[0,0,0]", "[1,2,3]", "[1,1,1]"]
+        rows = np.stack(
+            [HalfVec.from_text(t).data for t in texts]
+        ).astype(np.float16)
+        idx = HnswIndex.build(
+            rows, metric=metric, dtype=np.float16, method="host", seed=5
+        )
+        ins = idx.insert(HalfVec.from_text("[1,2,4]").data, tid=3)
+        assert ins is not None
+        values = texts + ["[1,2,4]"]
+        q = HalfVec.from_text("[3,3,3]").data
+        scan = idx.scan(
+            q, SearchParams(ef_search=40, iterative_scan="strict_order")
+        )
+        got = [values[t] for t, _ in scan.take(10)]
+        assert got == self.EXPECTED[metric]
+
+
 class TestGoldenDistances:
     """Exact operator values on the pg_regress-style fixtures."""
 
