@@ -1341,7 +1341,15 @@ class DeviceBuilder:
                 neg, slots = jax.lax.top_k(-sc, KK)
                 return -neg, slots
 
-            CQ = 256 if (B % 256 == 0 and width_u > (1 << 17)) else B
+            # trace-time knob (env-toggle trap applies): the [CQ,
+            # width_u] f32 score transient is 1 GB at CQ=256 over the
+            # 10M shape's 1M-wide table; larger CQ amortizes
+            # approx_min_k fixed cost per chunk against a bigger
+            # transient
+            CQ = int(os.environ.get("PGV_BUILD_SEED_CQ", 0)) or (
+                256 if (B % 256 == 0 and width_u > (1 << 17)) else B
+            )
+            CQ = CQ if B % CQ == 0 else B
             if CQ < B:
                 sd_c, sl_c = jax.lax.map(
                     seed_chunk, q_rows.reshape(-1, CQ, self.dim)
