@@ -116,7 +116,13 @@ def _run_arm(label, n, env: dict, batch_max=1024):
             30,
         )
         t0 = time.time()
-        b = DeviceBuilder("l2", data, levels, m, 64, batch_max=batch_max)
+        # consume_input: free the datagen buffer once the padded build
+        # copy exists — the 10M-cap arrays + run transients peak within
+        # a few hundred MB of the 16GB chip (arm-base OOMed its first
+        # group with the buffer kept; the real 10M build consumes too)
+        b = DeviceBuilder("l2", data, levels, m, 64, batch_max=batch_max,
+                          consume_input=True)
+        data = None
         b.seed_first(0)
         log(f"arm {label}: builder init {time.time()-t0:.1f}s")
         t0 = time.time()
@@ -139,15 +145,26 @@ def _run_arm(label, n, env: dict, batch_max=1024):
             os.environ.pop(k, None)
 
 
+ARMS = {
+    "base": {},
+    "steps16": {"PGV_BUILD_BEAM_STEPS": "16"},
+    "cq512": {"PGV_BUILD_SEED_CQ": "512"},
+    "ivf": {"PGV_BUILD_GROUND": "ivf"},
+    "e8s9": {"PGV_BUILD_BEAM_STEPS": "9", "PGV_BUILD_BEAM_EXPAND": "8"},
+}
+
+
 def stage2_arms():
-    n = int(os.environ.get("PGV_R3B_N", 786432))
-    fence("arm-base", _run_arm, "base", n, {})
-    fence("arm-steps16", _run_arm, "steps16", n,
-          {"PGV_BUILD_BEAM_STEPS": "16"})
-    fence("arm-cq512", _run_arm, "cq512", n, {"PGV_BUILD_SEED_CQ": "512"})
-    fence("arm-ivf", _run_arm, "ivf", n, {"PGV_BUILD_GROUND": "ivf"})
-    fence("arm-e8s9", _run_arm, "e8s9", n,
-          {"PGV_BUILD_BEAM_STEPS": "9", "PGV_BUILD_BEAM_EXPAND": "8"})
+    """One arm per PROCESS (PGV_R3B_ARM): an OOM poisons the chip for
+    the rest of the process (arm-base's OOM took down every later
+    stage on 2026-08-21 — buffers never freed), and the trace-time env
+    knobs need process isolation anyway."""
+    n = int(os.environ.get("PGV_R3B_N", 524288))
+    which = os.environ.get("PGV_R3B_ARM")
+    for name, env in ARMS.items():
+        if which and name != which:
+            continue
+        fence(f"arm-{name}", _run_arm, name, n, env)
 
 
 def stage4_resume1m():
