@@ -134,6 +134,11 @@ class HnswIndex:
     @property
     def count(self) -> int:
         """Live (non-deleted) element slots."""
+        if self.serving_only and not self.elements:
+            # serving-only bulk build keeps no host GraphElements; the
+            # store count is the live-row count (no host mutation paths
+            # exist to delete in this mode)
+            return self.store.count
         return sum(
             1 for e in self.elements if not e.deleted and e.level >= 0
         )

@@ -762,6 +762,25 @@ class TestHalfvecServingConsistency:
         # query stays f32; stored row is f16-rounded
         assert d1[0, 1] == pytest.approx(expect, rel=1e-3)
 
+    def test_serving_only_count_and_rows(self):
+        """Serving-only builds keep no host GraphElements, but count /
+        num_tuples / store.rows must still reflect the live corpus —
+        configs/halfvec_10m.py's 1M run sliced `store.rows[:count]`
+        and got an EMPTY matrix (count read the empty elements list),
+        failing its recall gate at 0.0 (2026-08-21)."""
+        rng = np.random.default_rng(56)
+        data = rng.standard_normal((512, 16)).astype(np.float32)
+        idx = HnswIndex.build(
+            data, metric="ip", method="device", dtype=np.float16,
+            seed=9, host_graph=False,
+        )
+        assert idx.count == 512
+        assert idx.num_tuples == 512
+        rows = np.asarray(idx.store.rows[: idx.count], dtype=np.float32)
+        assert np.array_equal(
+            rows, data.astype(np.float16).astype(np.float32)
+        )
+
 
 class TestInsertRecallOtherKinds:
     """021/025/029 analogs: aminsert path for bit, halfvec, sparse."""
