@@ -1545,6 +1545,12 @@ def _serve_sweep(
                 d, ids = jax.lax.sort([d, ids], num_keys=1)
                 ids = jnp.where(jnp.isfinite(d), ids, -1)
             return d[:, :k], ids[:, :k]
+        if g.kind == "bit":
+            # packed-word queries ([B, W] uint32): the bits sweep owns
+            # both the exact and approx selections for hamming/jaccard
+            return _exact_search_bits(
+                g, qc, k, approx=engine == "approx", row_mask=row_mask
+            )
         return _exact_search_batch(
             g, qc, k, approx=engine == "approx", row_mask=row_mask
         )

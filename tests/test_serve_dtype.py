@@ -105,3 +105,26 @@ class TestServeDtype:
         assert st["values"].dtype == jnp.bfloat16
         _, tids = idx.search(data[9], 5, SearchParams(ef_search=40))
         assert tids[0] == 9
+
+
+class TestServeTopkBit:
+    """serve_topk on bit indexes: the bulk serving fast path must route
+    packed-word queries to the bits sweep — it previously crashed on
+    `g.values.shape` (dense-only assumption; found by
+    probes/probe_bitbeam.py on 2026-08-21)."""
+
+    @pytest.mark.parametrize("metric", ["hamming", "jaccard"])
+    def test_all_engines(self, metric):
+        import jax.numpy as jnp
+
+        from pgvector_rx_tpu.graph import device as dm
+        from pgvector_rx_tpu.ops.bits import pack_bits
+
+        rng = np.random.default_rng(77)
+        bits = rng.integers(0, 2, size=(2000, 64), dtype=np.uint8)
+        idx = HnswIndex.build(bits, metric=metric, method="host", seed=1)
+        q = jnp.asarray(pack_bits(bits[:32]))
+        for eng in ("exact", "approx", "beam"):
+            _, ids = dm.serve_topk(idx, q, 5, engine=eng, chunk=32)
+            hit = float((ids[:, 0] == np.arange(32)).mean())
+            assert hit >= 0.9, (eng, hit)
