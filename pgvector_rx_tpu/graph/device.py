@@ -1561,8 +1561,14 @@ def _serve_sweep(
 
 def serve_topk(index, queries_dev, k: int, engine: str = "approx",
                chunk: int = 1024, ef: int = 40, filter_mask=None):
-    """Bulk top-k over device-staged dense queries: one dispatch, one
+    """Bulk top-k over device-staged queries: one dispatch, one
     download. Returns (dists [B,k] np, element ids [B,k] np).
+
+    Query layout depends on the index metric: dense metrics take
+    [B, dim] float rows; hamming/jaccard take packed-word bit queries
+    ([B, W] uint32, W = ceil(dim/32), as produced by
+    ``ops.bits.pack_bits``) — the same packed layout the graph store
+    keeps on-device.
 
     This is the serving fast path the benchmark measures; `search()`
     remains the semantically-complete per-call API (duplicate TID
