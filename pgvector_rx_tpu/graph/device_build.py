@@ -39,6 +39,7 @@ import math
 import os
 import sys
 import time
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -52,6 +53,10 @@ _enable_jax_cache()
 
 # below this corpus size exact top_k is cheap; above it use approx_min_k
 _APPROX_TOPK_MIN = 16384
+
+#: cap at/above which the back-edge commit honors K=2 same-target adds
+#: by default instead of 4 (see DeviceBuilder._be_k)
+_BE_K2_MIN_CAP = 1 << 19
 
 # committed-prefix width at which ground-layer candidate generation
 # switches from the exact MXU sweep (quadratic in N: scoring every
@@ -609,9 +614,24 @@ class DeviceBuilder:
         # the as-built graph (the reference's construction search as
         # fixed-trip tensor ops); "ivf" scores the members of the
         # nearest upper-row cells exactly on the MXU — no serial walk.
-        self.ivf = os.environ.get("PGV_BUILD_GROUND", "beam") == "ivf"
+        # "auto" (default) picks ivf for the MXU metrics: the r4 arm
+        # A/B measured the beam descent as the WHOLE flat 10M per-batch
+        # premium (16.45 -> 10.43 s/group under ivf, DESIGN.md 6i) and
+        # ivf beats the descent at the 1M shape too (6j). l1 has no
+        # matmul identity and jacbits needs the l2 transform in the
+        # member scorer — both keep the descent.
+        ground = os.environ.get("PGV_BUILD_GROUND", "auto")
+        if ground == "auto":
+            ground = "ivf" if metric in ("l2", "ip", "cosine") else "beam"
+        self.ivf = ground == "ivf"
         self.ivf_cap = int(os.environ.get("PGV_BUILD_IVF_CAP", 64))
         self.ivf_probes = int(os.environ.get("PGV_BUILD_IVF_PROBES", 16))
+        # one-hop graph expansion of the ivf pool: additionally score
+        # the layer-0 neighbors of the HOP nearest member candidates.
+        # Cell members alone build cell-local edges (beam-serving
+        # recall 0.88 vs 0.983, DESIGN 6j); the hop re-injects the
+        # bridging edges earlier inserts created.
+        self.ivf_hop = int(os.environ.get("PGV_BUILD_IVF_HOP", 16))
         self._members_ready = False
 
         # Every array dimension is padded to a size bucket (1/8-octave
@@ -1349,7 +1369,13 @@ class DeviceBuilder:
             CQ = int(os.environ.get("PGV_BUILD_SEED_CQ", 0)) or (
                 256 if (B % 256 == 0 and width_u > (1 << 17)) else B
             )
-            CQ = CQ if B % CQ == 0 else B
+            if not (0 < CQ <= B and B % CQ == 0):
+                if os.environ.get("PGV_BUILD_SEED_CQ"):
+                    warnings.warn(
+                        f"PGV_BUILD_SEED_CQ={CQ} is not a positive "
+                        f"divisor of batch width {B}; using {B}"
+                    )
+                CQ = B
             if CQ < B:
                 sd_c, sl_c = jax.lax.map(
                     seed_chunk, q_rows.reshape(-1, CQ, self.dim)
@@ -1389,11 +1415,13 @@ class DeviceBuilder:
                 # so the remaining walk length barely grows with N:
                 # at the 10.5M-cap shape, 16 steps holds candidate
                 # recall@16 within 0.0007 of 19 steps while saving
-                # ~11ms/batch (probe_beam 2026-08-19) — scale with
-                # capacity only VERY mildly above 8M.
+                # ~11ms/batch (probe_beam 2026-08-19; r4 arm A/B
+                # confirmed +2.8% steady at the 10M shape, DESIGN 6i)
+                # — so the count is CLAMPED at 16 rather than growing
+                # with log2(cap).
                 steps = int(
                     os.environ.get("PGV_BUILD_BEAM_STEPS", 0)
-                ) or max(16, int(math.log2(self.cap + 1)) - 6)
+                ) or 16
                 expand = int(os.environ.get("PGV_BUILD_BEAM_EXPAND", 4))
                 dedup = os.environ.get("PGV_BUILD_BEAM_DEDUP", "1") != "0"
                 # NOTE: like steps/expand/dedup above, merge is read at
@@ -1548,15 +1576,13 @@ class DeviceBuilder:
         P = min(self.ivf_probes, seed_slots.shape[1])
         cap = self.cap
         n_slots = arrays.members.shape[0]
+        lm0 = self.lm0
 
-        def chunk(args):
-            q_c, sl_c, sc_c = args  # [CQ, D], [CQ, P], [CQ, P]
-            mem = arrays.members[jnp.clip(sl_c, 0, n_slots - 1)]
-            mem = jnp.where(
-                jnp.isfinite(sc_c)[:, :, None], mem, -1
-            ).reshape(q_c.shape[0], -1)  # [CQ, P*CAP]
-            safe = jnp.clip(mem, 0, cap)
-            ok = mem >= 0
+        def score_ids(q_c, ids):
+            """Exact distances of q_c [CQ, D] to element ids [CQ, W]
+            (-1 = pad -> inf)."""
+            safe = jnp.clip(ids, 0, cap)
+            ok = ids >= 0
             rows = data.vectors_bf16[safe]  # [CQ, W, D]
             if self.metric in ("l2", "ip", "cosine"):
                 dots = jnp.einsum(
@@ -1575,10 +1601,54 @@ class DeviceBuilder:
                     jnp.abs(rows.astype(jnp.float32) - q_c[:, None, :]),
                     axis=-1,
                 )
-            d = jnp.where(ok, d, jnp.inf)
+            return jnp.where(ok, d, jnp.inf)
+
+        def chunk(args):
+            q_c, sl_c, sc_c = args  # [CQ, D], [CQ, P], [CQ, P]
+            mem = arrays.members[jnp.clip(sl_c, 0, n_slots - 1)]
+            mem = jnp.where(
+                jnp.isfinite(sc_c)[:, :, None], mem, -1
+            ).reshape(q_c.shape[0], -1)  # [CQ, P*CAP]
+            d = score_ids(q_c, mem)
             kk = min(self.efc, d.shape[1])
             neg, pos = jax.lax.top_k(-d, kk)
-            return -neg, jnp.take_along_axis(mem, pos, axis=1)
+            cd, cids = -neg, jnp.take_along_axis(mem, pos, axis=1)
+            hop = min(self.ivf_hop, kk)
+            if hop:
+                # one-hop: score the layer-0 neighbors of `hop` member
+                # candidates (edges of earlier inserts bridge cells the
+                # probe set missed). stride > 1 spreads the hop sources
+                # across the candidate ranking instead of taking the
+                # nearest block — their neighbor lists overlap less
+                stride = max(
+                    1, int(os.environ.get("PGV_BUILD_IVF_HOP_STRIDE", 1))
+                )
+                if stride > 1 and hop * stride <= kk:
+                    src = cids[:, : hop * stride : stride]
+                else:
+                    src = cids[:, :hop]  # [CQ, E], sorted nearest-first
+                nb = arrays.nb0c[jnp.clip(src, 0, cap)][:, :, :lm0]
+                hids = jnp.where(
+                    (src >= 0)[:, :, None], nb, -1
+                ).reshape(q_c.shape[0], -1)  # [CQ, E*lm0]
+                hd = score_ids(q_c, hids)
+                all_d = jnp.concatenate([cd, hd], axis=1)
+                all_i = jnp.concatenate([cids, hids], axis=1)
+                # dedup (hop ids repeat members and each other): group
+                # by id, inf out repeats, then rank by distance
+                si, sd = jax.lax.sort([all_i, all_d], num_keys=1)
+                dup = jnp.concatenate(
+                    [
+                        jnp.zeros((si.shape[0], 1), bool),
+                        si[:, 1:] == si[:, :-1],
+                    ],
+                    axis=1,
+                )
+                sd = jnp.where(dup | (si < 0), jnp.inf, sd)
+                sd, si = jax.lax.sort([sd, si], num_keys=1)
+                cd, cids = sd[:, :kk], si[:, :kk]
+                cids = jnp.where(jnp.isfinite(cd), cids, -1)
+            return cd, cids
 
         CQ = 256 if B % 256 == 0 and B > 256 else B
         if CQ < B:
@@ -1731,6 +1801,16 @@ class DeviceBuilder:
             entry_level=jnp.where(promote, batch_max, arrays.entry_level),
         )
 
+    def _be_k(self, lm: int) -> int:
+        """Same-target back-edge adds honored per commit (trace-time;
+        PGV_BUILD_BE_K overrides). Size-aware default: 2 at large caps
+        (collision density per target is low — measured recall-neutral
+        at 1M, +2.5% build rate), 4 below _BE_K2_MIN_CAP."""
+        k = int(os.environ.get("PGV_BUILD_BE_K", 0))
+        if k <= 0:
+            k = 2 if self.cap >= _BE_K2_MIN_CAP else 4
+        return min(lm, k)
+
     def _resolve_backedges(self, data: BuildData, old_ids, old_d, tgt, dst, src, lm: int, K: int):
         """Shared back-edge machinery for one layer.
 
@@ -1826,11 +1906,11 @@ class DeviceBuilder:
         # fold away, like the reference's tolerated lost in-edges under
         # concurrency, tests/t/016:68-70). Measured at 1M/128-d: K=4 is
         # +4% steady build rate over K=8 at identical beam recall
-        # (0.9831); K=2 another +2.5%, kept off-default as margin for
-        # denser same-target collisions on small graphs.
+        # (0.9831); K=2 another +2.5% — default above _BE_K2_MIN_CAP
+        # where same-target collision density is low (small graphs keep
+        # 4 as margin for denser collisions per target).
         head, s_tgt, nids, nd = self._resolve_backedges(
-            data, old_ids, old_d, tgt, dst, src, lm,
-            K=min(lm, int(os.environ.get("PGV_BUILD_BE_K", 4)))
+            data, old_ids, old_d, tgt, dst, src, lm, K=self._be_k(lm)
         )
         scatter_tgt = jnp.where(head, s_tgt, dump)
         return nb0c.at[scatter_tgt].set(_pack_nbrc(nids, nd))
@@ -1882,7 +1962,7 @@ class DeviceBuilder:
         u_src = jnp.where(sel_ok, flat_src[order], -1)
         u_layer = jnp.where(sel_ok, flat_layer[order], self.lmax + 7)
         lm = self.m
-        K = min(lm, int(os.environ.get("PGV_BUILD_BE_K", 4)))
+        K = self._be_k(lm)
         dump_slot = self.upper_dump
         mp2 = self.mp2
         lmax = self.lmax

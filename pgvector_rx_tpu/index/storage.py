@@ -193,43 +193,85 @@ class AppendLog:
     a streaming replica replays WAL (tests/t/010_hnsw_wal.pl model).
     """
 
-    def __init__(self, path, index):
+    def __init__(self, path, index, fsync: bool | None = None):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = open(self.path, "a", encoding="utf-8")
         self.index = index
+        # fsync-per-record gives the GenericXLog durability contract
+        # (a committed insert survives power loss, insert.rs:216-263);
+        # flush-only survives process crashes but not kernel/power ones
+        self.fsync = (
+            fsync
+            if fsync is not None
+            else os.environ.get("PGV_LOG_FSYNC", "0") == "1"
+        )
+
+    def _append(self, rec: dict) -> None:
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        if self.fsync:
+            os.fsync(self._fh.fileno())
 
     def record_insert(self, value, tid: int) -> None:
-        rec = {"op": "insert", "tid": int(tid), "value": _encode_value(self.index, value)}
-        self._fh.write(json.dumps(rec) + "\n")
-        self._fh.flush()
+        self._append(
+            {"op": "insert", "tid": int(tid),
+             "value": _encode_value(self.index, value)}
+        )
 
     def record_delete(self, tids) -> None:
-        rec = {"op": "delete", "tids": [int(t) for t in tids]}
-        self._fh.write(json.dumps(rec) + "\n")
-        self._fh.flush()
+        self._append({"op": "delete", "tids": [int(t) for t in tids]})
 
     def close(self) -> None:
         self._fh.close()
 
 
 def replay_log(index, log_path) -> int:
-    """Apply logged mutations in order. Returns number of records."""
+    """Apply logged mutations in order. Returns number of records.
+
+    A torn FINAL record (a crash mid-append left a half-written last
+    line) is tolerated: it is truncated away with a warning, matching
+    WAL replay's treatment of a torn tail record — the mutation never
+    committed. Corruption anywhere BEFORE the final record is real
+    data loss and raises.
+    """
     count = 0
     log = index._log
     index._log = None  # don't re-log replays
     try:
         with open(log_path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)
-                if rec["op"] == "insert":
-                    index.insert(_decode_value(index, rec["value"]), rec["tid"])
-                elif rec["op"] == "delete":
-                    index.delete(rec["tids"])
-                count += 1
+            lines = fh.readlines()
+        recs = []
+        for ln, line in enumerate(lines):
+            stripped = line.strip()
+            if not stripped:
+                continue
+            try:
+                recs.append(json.loads(stripped))
+            except json.JSONDecodeError:
+                if ln == len(lines) - 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"append log {log_path} ends in a torn record "
+                        "(crash mid-append); truncating the tail — the "
+                        "mutation never committed",
+                        stacklevel=2,
+                    )
+                    keep = sum(len(x) for x in lines[:ln])
+                    with open(log_path, "r+", encoding="utf-8") as fh:
+                        fh.truncate(keep)
+                    break
+                raise ValueError(
+                    f"append log {log_path} is corrupt at line {ln + 1} "
+                    "(not the final record) — cannot replay"
+                )
+        for rec in recs:
+            if rec["op"] == "insert":
+                index.insert(_decode_value(index, rec["value"]), rec["tid"])
+            elif rec["op"] == "delete":
+                index.delete(rec["tids"])
+            count += 1
     finally:
         index._log = log
     return count

@@ -216,3 +216,54 @@ class TestConcurrentInserts:
         # graph still healthy: every live tid reachable at high ef
         stats = idx.vacuum()
         assert stats is not None
+
+    def test_015_concurrent_duplicate_inserts(self):
+        """t/015's pgbench phase: 5 clients x 100 transactions all
+        inserting the SAME vector (015_hnsw_vector_duplicates.pl:46-56,
+        '[1,1,1]'). Racing byte-equal inserts must fold into existing
+        elements' TID lists under the shared lock without ever
+        overfilling one (HNSW_HEAPTIDS cap = 10, hnsw_constants.rs:85),
+        must lose no TID, and every TID must stay visible to a search
+        at the duplicate point (016:70's >=0.997 visibility bar)."""
+        dup = np.array([1.0, 1.0, 1.0], dtype=np.float32)
+        # build-path duplicates first (015's first half): 20 copies
+        idx = HnswIndex.build(
+            np.tile(dup, (20, 1)), metric="l2", method="host", seed=15
+        )
+        # ef_search=1 visits one element -> its <=10 TIDs (015:24-31)
+        scan = idx.scan(dup, SearchParams(ef_search=1), method="host")
+        assert len(scan.take(100)) == 10
+
+        per, n_threads = 100, 5
+        errors = []
+
+        def client(c):
+            try:
+                for i in range(per):
+                    idx.insert(dup.copy(), 1000 + c * per + i)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=client, args=(c,))
+            for c in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+
+        total = 20 + per * n_threads
+        all_tids = [t for tl in idx.heap_tids for t in tl]
+        # no TID lost, none double-recorded
+        assert len(all_tids) == len(set(all_tids)) == total
+        # the cap held on EVERY element despite racing folds
+        assert max(len(tl) for tl in idx.heap_tids) <= 10
+        # visibility: a scan at the duplicate point emits >=99.7% of
+        # the TIDs (all elements sit at distance 0)
+        scan = idx.scan(
+            dup, SearchParams(ef_search=total), method="host"
+        )
+        got = {t for t, _ in scan.take(total + 50)}
+        assert len(got & set(all_tids)) >= int(np.ceil(0.997 * total))

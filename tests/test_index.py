@@ -12,6 +12,8 @@ Scaled down (1-2k rows vs 10k) to keep the host reference path fast;
 the full-size sweeps run in bench.py on device.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -454,6 +456,64 @@ class TestPersistence:
         d2, i2 = replica.search(q, 10, method="host")
         assert np.array_equal(i1, i2)
         np.testing.assert_allclose(d1, d2)
+
+    def test_log_torn_tail_tolerated(self, tmp_path):
+        """A crash mid-append leaves a half-written final line; replay
+        must truncate it with a warning (torn WAL tail model) and keep
+        every complete record. Corruption BEFORE the tail raises."""
+        import warnings as _warnings
+
+        rng = np.random.default_rng(34)
+        data = rng.random((100, 5)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=13)
+        idx.save(tmp_path / "ckpt")
+        idx.enable_log(tmp_path / "ckpt" / "log.jsonl")
+        v0, v1 = rng.random((2, 5)).astype(np.float32)
+        idx.insert(v0, 500)
+        idx.insert(v1, 501)
+        log_path = tmp_path / "ckpt" / "log.jsonl"
+        # simulate kill -9 mid-append: append half a record, no newline
+        with open(log_path, "a", encoding="utf-8") as fh:
+            fh.write('{"op": "insert", "tid": 502, "val')
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            replica = HnswIndex.load(tmp_path / "ckpt")
+        assert any("torn" in str(x.message) for x in w)
+        # both complete records replayed; the torn one never committed
+        # on either side, so counts match
+        assert replica.count() == idx.count()
+        d1, i1 = idx.search(v1, 1, method="host")
+        d2, i2 = replica.search(v1, 1, method="host")
+        assert np.array_equal(i1, i2)
+        # the torn tail was truncated away on disk: reload is clean
+        with _warnings.catch_warnings(record=True) as w2:
+            _warnings.simplefilter("always")
+            HnswIndex.load(tmp_path / "ckpt")
+        assert not any("torn" in str(x.message) for x in w2)
+        # mid-file corruption is NOT tolerated
+        lines = log_path.read_text().splitlines(keepends=True)
+        log_path.write_text("{broken\n" + "".join(lines))
+        with pytest.raises(ValueError, match="corrupt"):
+            HnswIndex.load(tmp_path / "ckpt")
+
+    def test_log_fsync_mode(self, tmp_path):
+        """PGV_LOG_FSYNC / fsync kwarg drives os.fsync per record."""
+        from pgvector_rx_tpu.index import storage
+
+        rng = np.random.default_rng(35)
+        data = rng.random((50, 5)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=13)
+        log = storage.AppendLog(tmp_path / "log.jsonl", idx, fsync=True)
+        assert log.fsync is True
+        calls = []
+        real_fsync = os.fsync
+        try:
+            os.fsync = lambda fd: calls.append(fd) or real_fsync(fd)
+            log.record_insert(rng.random(5).astype(np.float32), 1)
+        finally:
+            os.fsync = real_fsync
+        log.close()
+        assert len(calls) == 1
 
     def test_sparse_save_load(self, tmp_path):
         rows = [

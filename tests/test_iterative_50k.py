@@ -11,7 +11,7 @@ every row whose distance <= the 20th-nearest filtered distance counts.
 Engines: the host scan (HnswScan — reference Algorithm-5 + resume
 semantics) runs the full 044 matrix; the resumable device beam scan
 (DeviceBeamScan, the >4M-rows/chip iterative engine) is held to the
-same contract on both selectivities for l2 and at 2% for cosine.
+same contract on the full matrix (044:111-112).
 
 Marked slow; deselect with `-m "not slow"`.
 """
@@ -69,6 +69,50 @@ def corpus():
     return indexes, data, queries
 
 
+class TestBudget043Statistical:
+    """t/043's statistical tuple-budget law at its own scale on the
+    HOST engine: 100k random 3-d rows, selectivity 1/10000 (10
+    matching rows), max_scan_tuples in (30k, 50k, 70k); the average
+    number of visible (filter-passing) tuples over 20 query points
+    must land within +-2 of max_scan_tuples * selectivity
+    (tests/t/043_hnsw_iterative_scan.pl:35-56). The filter runs ABOVE
+    the scan (executor-side), exactly as in the reference."""
+
+    N100 = 100_000
+    SEL_MOD = 10_000
+
+    @pytest.fixture(scope="class")
+    def corpus_100k(self):
+        rng = np.random.default_rng(43)
+        data = rng.random((self.N100, 3)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="device", seed=46)
+        return idx, data
+
+    @pytest.mark.parametrize("max_tuples", [30_000, 50_000, 70_000])
+    def test_budget_law(self, corpus_100k, max_tuples):
+        idx, data = corpus_100k
+        expected = max_tuples / self.SEL_MOD
+        params = SearchParams(
+            ef_search=40,
+            iterative_scan="relaxed_order",
+            max_scan_tuples=max_tuples,
+        )
+        total = 0
+        for qi in range(1, 21):  # 043 queries from rows i = 1..20
+            scan = idx.scan(data[qi], params, method="host")
+            # executor-side filter i % 10000 == 0 with LIMIT 11 (never
+            # reached: only 10 rows match) — drain and count visible
+            seen = 0
+            for tid, _ in iter(scan.next, None):
+                if tid % self.SEL_MOD == 0:
+                    seen += 1
+                    if seen >= 11:
+                        break
+            total += seen
+        avg = total / 20
+        assert expected - 2 < avg < expected + 2, (avg, expected)
+
+
 class TestIterative044:
     @pytest.mark.parametrize("metric", ["l2", "cosine"])
     @pytest.mark.parametrize("c", [50, 500])
@@ -83,7 +127,7 @@ class TestIterative044:
 
     @pytest.mark.parametrize(
         "metric,c",
-        [("l2", 50), ("l2", 500), ("cosine", 50)],
+        [("l2", 50), ("l2", 500), ("cosine", 50), ("cosine", 500)],
     )
     @pytest.mark.parametrize("mode", ["strict_order", "relaxed_order"])
     def test_device_beam_scan(self, corpus, metric, c, mode):
