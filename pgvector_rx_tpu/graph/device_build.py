@@ -35,6 +35,7 @@ not device time, otherwise dominates on fresh shapes).
 from __future__ import annotations
 
 import functools
+import gc
 import math
 import os
 import sys
@@ -2691,6 +2692,18 @@ def bulk_build(index, data, ids, host_graph: bool = True,
             index, builder, heap_tids, first_tids=kept_arr
         )
         _phase("finalize.device-graph")
+        # Drop build-only device state NOW (packed nb0c/upc adjacency,
+        # ivf member tables, upper value tables — ~5.5 GB at 10M). The
+        # DeviceGraph holds its own references to everything serving
+        # needs; relying on the builder's GC can defer release past the
+        # first serve dispatch, and a 10M build + serve runs within a
+        # few hundred MB of the 16 GB chip (the r4 ivf members array
+        # alone tipped it, OOM at GT).
+        builder.arrays = None
+        builder.data = None
+        builder.vectors = None
+        gc.collect()
+        _phase("finalize.free-build-state")
         return
 
     # ---- populate the host index from the device arrays
