@@ -2692,6 +2692,17 @@ def bulk_build(index, data, ids, host_graph: bool = True,
             index, builder, heap_tids, first_tids=kept_arr
         )
         _phase("finalize.device-graph")
+        g = index._device
+        if (
+            index.kind == "dense"
+            and g.values is not None
+            and g.values.dtype != jnp.float32
+            and getattr(index.store, "_device_rows", None) is not None
+        ):
+            # compact serve dtype: back the store with the compact
+            # array so the padded f32 build buffer can free below
+            # (halfvec 1.25M x 1024: 5.4 GB -> 2.7 GB resident store)
+            index.store.rebind_device(g.values)
         # Drop build-only device state NOW (packed nb0c/upc adjacency,
         # ivf member tables, upper value tables — ~5.5 GB at 10M). The
         # DeviceGraph holds its own references to everything serving
@@ -3099,6 +3110,16 @@ def _emit_tables_device(absorb, counts, tids_i32, cap1: int,
     return jnp.where((absorb < 0) & (counts > 0), col, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("dt",))
+def _compact_values_jit(v32, dt):
+    """Compact serve-dtype values + x2 from the ROUNDED rows in ONE
+    program (the f32 upcast fuses into the reduce — no [cap, D] f32
+    transient)."""
+    v = v32.astype(dt)
+    vf = v.astype(jnp.float32)
+    return v, jnp.sum(vf * vf, axis=1)
+
+
 def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
                                first_tids=None):
     """Build a DeviceGraph directly from the builder's device arrays
@@ -3157,9 +3178,14 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
             )
         else:
             # dtype-native serving (VERDICT r1 #6): ONE compact value
-            # array + f32 x2 derived from the rounded rows; the f32
-            # build buffers free once the store drops its reference
-            value_kwargs = _serve_value_arrays(builder.vectors, serve_dtype)
+            # array + f32 x2 derived from the rounded rows. Fused in
+            # one program: device._serve_value_arrays's two-call
+            # astype(dt) -> astype(f32) roundtrip materialized a
+            # second FULL f32 copy (5.4 GB at 1.25M x 1024) and OOMed
+            # the halfvec per-chip-shard finalize; here the f32 cast
+            # fuses into the x2 reduce and never materializes.
+            v_c, x2_c = _compact_values_jit(builder.vectors, serve_dtype)
+            value_kwargs = dict(values=v_c, x2=x2_c, values_bf16=None)
     return DeviceGraph(
         kind=index.kind,
         metric=index.metric,

@@ -87,6 +87,14 @@ class DenseStore:
         self._device_rows = dev_rows
         self.count = int(count if count is not None else dev_rows.shape[0])
 
+    def rebind_device(self, dev_rows) -> None:
+        """Swap the device backing for an equal-content array (e.g. the
+        compact serve-dtype copy at build finalize) without touching
+        ``count`` — frees the previous (typically f32) backing once the
+        caller drops its own references."""
+        assert self._device_rows is not None
+        self._device_rows = dev_rows
+
     def reset_device(self, dev_rows) -> None:
         """Replace the whole backing with a device-resident [N, dim]
         array (device-input bulk insert into a device-backed store)."""

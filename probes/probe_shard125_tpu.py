@@ -70,6 +70,13 @@ def main():
     dt = time.time() - t0
     log(f"build {dt:.1f}s = {n/dt:.0f} vec/s; hbm {hbm(dev)}")
 
+    if os.environ.get("PGV_SHARD125_ONLY") == "beamscan":
+        # lean mode: the serve sweeps' transients fragment HBM enough
+        # that a later beam-scan compile OOMs at this scale — measure
+        # the resumable scan against the freshly built index alone
+        _beamscan(index, queries, dev)
+        return
+
     # serving: exact GT then approx/beam recall + qps
     t0 = time.time()
     _, gt = dm.serve_topk(index, queries, k, engine="exact")
@@ -87,6 +94,15 @@ def main():
         ))
         log(f"serve {engine}: {n_q/best:.0f} qps recall@10={rec:.4f}")
     log(f"post-serve hbm {hbm(dev)}")
+
+    _beamscan(index, queries, dev)
+
+
+def _beamscan(index, queries, dev):
+    import numpy as np
+
+    from pgvector_rx_tpu.config import SearchParams
+    from pgvector_rx_tpu.index.scan import DeviceBeamScan
 
     # resumable beam scan (the per-shard iterative engine)
     q_host = np.asarray(queries[:9])
