@@ -21,6 +21,14 @@ Serving: SPMD shard_map inner-product sweep (exact, recall 1.0) or
 per-shard beam, one all_gather top-k merge over ICI
 (parallel/sharded.py — same path as configs/sharded_100m.py).
 
+MEASURED on the real chip (probes/probe_hv125_tpu.py, 2026-08-21):
+one 1.25M-row per-chip shard builds at 7,044 vec/s and serves exact
+12,753 qps @ recall 1.000 / approx 34,135 qps @ 0.9983 over the full
+shard (DeviceBeamScan init 92 ms) — the v5e-8 deployment numbers are
+8 of these units behind one all_gather merge. With the f16 store
+re-backed at finalize the resident serve footprint is ~3.5 GB/chip
+(DESIGN.md 6m), leaving multi-query headroom.
+
 This script validates the exact code path at a harness-executable
 scale (8-device virtual CPU mesh, the same mechanism the driver's
 dryrun_multichip uses). Scale knobs:

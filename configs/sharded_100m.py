@@ -12,6 +12,19 @@ Per-chip memory budget (12.5M rows):
     masks/tids/x2     ~0.2 GB
     total             ~11.8 GB  (fits 16 GB with serving headroom)
 
+MEASURED on the real chip (probes/probe_shard125_tpu.py, 2026-08-21):
+one full 12.5M-row shard built on-device at 9,389-9,910 vec/s
+(compile-inclusive) and served over all 12.5M rows at exact 1,595 qps
+@ recall 1.000 / approx 21,990 qps @ 1.000 / beam(ef=40) 17,152 @
+0.924 — the per-shard claim below is measurement, not extrapolation.
+The serving sweeps' chunked score transients fit next to the ~12.2 GB
+resident arrays. The resumable per-shard beam scan does NOT fit
+beside the full-precision f32+bf16 value pair at 12.5M rows (measured
+OOM, DESIGN.md 6l) — iterative-scan deployments set
+PGV_SERVE_DTYPE=bf16 per shard (one 3.35 GB value array, distances
+exact w.r.t. the bf16-rounded store), which the sweep engines use
+unchanged.
+
 Build: per-shard batched device build (each shard's arrays placed on
 its own chip via ShardedHnswIndex.build(..., host_graph=False)); the
 8 builds are independent (no cross-chip traffic until serving).

@@ -569,7 +569,8 @@ class DeviceBuilder:
 
     def __init__(self, metric: str, vectors: np.ndarray, levels: np.ndarray, m: int,
                  ef_construction: int, batch_max: int = 1024,
-                 alpha: float | None = None, consume_input: bool = False):
+                 alpha: float | None = None, consume_input: bool = False,
+                 ground: str | None = None):
         _it0 = time.time()
         _timing = os.environ.get("PGV_BUILD_TIMING")
 
@@ -621,7 +622,8 @@ class DeviceBuilder:
         # ivf beats the descent at the 1M shape too (6j). l1 has no
         # matmul identity and jacbits needs the l2 transform in the
         # member scorer — both keep the descent.
-        ground = os.environ.get("PGV_BUILD_GROUND", "auto")
+        if ground is None:
+            ground = os.environ.get("PGV_BUILD_GROUND", "auto")
         if ground == "auto":
             ground = "ivf" if metric in ("l2", "ip", "cosine") else "beam"
         self.ivf = ground == "ivf"
@@ -2631,6 +2633,11 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         )
         or min(1024, max(64, 1 << max(n // 16, 1).bit_length() >> 1)),
         consume_input=consume_input,
+        # bit corpora keep the beam-descent ground even for the
+        # hamming-as-l2 identity: integer hamming distances tie
+        # heavily, and the ivf member/hop pools collapse under ties
+        # (1M bit beam recall 0.95 -> 0.72 measured, DESIGN.md 6n)
+        ground="beam" if index.kind == "bit" else None,
     )
 
     _phase("builder-init")
