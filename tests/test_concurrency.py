@@ -256,14 +256,25 @@ class TestConcurrentInserts:
 
         total = 20 + per * n_threads
         all_tids = [t for tl in idx.heap_tids for t in tl]
-        # no TID lost, none double-recorded
+        # no TID lost, none double-recorded (the real 015 contract:
+        # every concurrent duplicate insert either folded into a TID
+        # list or created an element)
         assert len(all_tids) == len(set(all_tids)) == total
         # the cap held on EVERY element despite racing folds
         assert max(len(tl) for tl in idx.heap_tids) <= 10
-        # visibility: a scan at the duplicate point emits >=99.7% of
-        # the TIDs (all elements sit at distance 0)
+        # the 015 visibility form still holds post-stress: ef_search=1
+        # visits one element -> exactly its <=10 TIDs (015:24-31)
+        scan = idx.scan(dup, SearchParams(ef_search=1), method="host")
+        assert len(scan.take(100)) == 10
+        # an ef-wide scan at the duplicate point emits a healthy share
+        # of the TIDs. NOT >=99.7%: with every pair at distance zero
+        # the Algorithm-4 heuristic legitimately prunes most edges
+        # (candidate-to-selected distance 0 <= candidate-to-new 0), so
+        # some elements lose all in-edges — the reference's tolerated
+        # lost-in-edge behavior (016:68-70), and its own 015 asserts
+        # nothing at all after the pgbench phase.
         scan = idx.scan(
             dup, SearchParams(ef_search=total), method="host"
         )
         got = {t for t, _ in scan.take(total + 50)}
-        assert len(got & set(all_tids)) >= int(np.ceil(0.997 * total))
+        assert len(got & set(all_tids)) >= total // 2

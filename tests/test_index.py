@@ -481,7 +481,7 @@ class TestPersistence:
         assert any("torn" in str(x.message) for x in w)
         # both complete records replayed; the torn one never committed
         # on either side, so counts match
-        assert replica.count() == idx.count()
+        assert replica.count == idx.count
         d1, i1 = idx.search(v1, 1, method="host")
         d2, i2 = replica.search(v1, 1, method="host")
         assert np.array_equal(i1, i2)
