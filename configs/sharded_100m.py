@@ -23,7 +23,9 @@ beside the full-precision f32+bf16 value pair at 12.5M rows (measured
 OOM, DESIGN.md 6l) — iterative-scan deployments set
 PGV_SERVE_DTYPE=bf16 per shard (one 3.35 GB value array, distances
 exact w.r.t. the bf16-rounded store), which the sweep engines use
-unchanged.
+unchanged. Measured at 12.5M under bf16: build 9,188 vec/s,
+DeviceBeamScan init 111 ms / next 2.4 ms / per-resume segment 95 ms
+(DESIGN.md 6l).
 
 Build: per-shard batched device build (each shard's arrays placed on
 its own chip via ShardedHnswIndex.build(..., host_graph=False)); the

@@ -3164,6 +3164,16 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
         builder.lm0,
         builder.lmax * builder.m,
     )
+    # everything else the graph needs from BuildArrays, captured by
+    # reference; then drop the packed/ivf build state BEFORE the value
+    # conversion below — at 12.5M rows the compact-dtype cast needs
+    # its output's HBM (3.35 GB bf16) and the packed nb0c/upc/members
+    # (~4 GB) are pure garbage at this point (measured OOM otherwise)
+    entry_i = int(np.asarray(builder.arrays.entry))
+    entry_l = int(np.asarray(builder.arrays.entry_level))
+    traversable = builder.arrays.alive
+    builder.arrays = None
+    gc.collect()
     if index.kind == "bit":
         # the builder worked on unpacked {0,1} f32 rows (hamming == l2);
         # the serving graph wants packed words — pack on device, no
@@ -3198,13 +3208,13 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
         metric=index.metric,
         cap=n,
         m=index.params.m,
-        entry=int(np.asarray(builder.arrays.entry)),
-        entry_level=int(np.asarray(builder.arrays.entry_level)),
+        entry=entry_i,
+        entry_level=entry_l,
         neighbors0=nb0_ids,
         upper_neighbors=up_ids,
         upper_slot=builder.upper_slot,
         levels=builder.levels,
-        traversable=builder.arrays.alive,
+        traversable=traversable,
         emit_tid=jnp.asarray(emit_tid),
         tid_count=jnp.asarray(tid_count),
         **value_kwargs,
