@@ -21,9 +21,12 @@ The serving sweeps' chunked score transients fit next to the ~12.2 GB
 resident arrays. The resumable per-shard beam scan does NOT fit
 beside the full-precision f32+bf16 value pair at 12.5M rows (measured
 OOM, DESIGN.md 6l) — iterative-scan deployments set
-PGV_SERVE_DTYPE=bf16 per shard (one 3.35 GB value array, distances
-exact w.r.t. the bf16-rounded store), which the sweep engines use
-unchanged. Measured at 12.5M under bf16: build 9,188 vec/s,
+PGV_SERVE_DTYPE=bf16 PGV_SERVE_REBIND_LOSSY=1 per shard (one 3.35 GB
+value array, distances exact w.r.t. the bf16-rounded store), which
+the sweep engines use unchanged. The second knob acknowledges the
+trade explicitly: the shard's resident store becomes the bf16-rounded
+rows, so a save() of the shard persists rounded vectors (r5 ADVICE
+fix — without it the f32 buffer is kept and the pair does not fit). Measured at 12.5M under bf16: build 9,188 vec/s,
 DeviceBeamScan init 111 ms / next 2.4 ms / per-resume segment 95 ms
 (DESIGN.md 6l).
 

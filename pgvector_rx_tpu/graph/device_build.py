@@ -101,6 +101,25 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 1).bit_length()
 
 
+#: when bound to a list (bench.py), run_all appends one
+#: (width, n_elems, seconds) tuple per dispatched group, syncing the
+#: device after each group so the timings are real. Lets the bench
+#: report a steady-state build rate next to end-to-end and makes cold
+#: program-load windows visible instead of silently billed.
+GROUP_STATS: list | None = None
+
+
+def cap_pad_for(n: int, cap_floor: int = 0) -> int:
+    """The padded array capacity a DeviceBuilder would pick for an
+    n-row corpus (1/8-octave size bucket; see DeviceBuilder.__init__).
+    Exposed so bench warmup can pin PGV_BUILD_CAP_FLOOR to the exact
+    static shapes of a bigger build and pre-compile its program set
+    with a small corpus."""
+    granule = max(4096, _next_pow2(n + 1) // 8)
+    cap_pad = -(-(n + 1) // granule) * granule
+    return max(cap_pad, cap_floor)
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "dim"))
 def _stream_init(rows: int, dim: int):
     """All three streaming buffers in ONE program (each fresh program
@@ -643,13 +662,15 @@ class DeviceBuilder:
         # shapes — hit the persistent compilation cache across corpus
         # sizes and across runs. Compile time, not device time, is the
         # dominant cold-start cost of the build.
-        granule = max(4096, _next_pow2(n + 1) // 8)
-        cap_pad = -(-(n + 1) // granule) * granule
-        # debugging floor: emulate a bigger corpus's STATIC shapes
+        # shape floor: emulate a bigger corpus's STATIC shapes
         # (beam step count, array capacities) with a small-n build —
         # lets probes attribute big-N per-batch cost without paying
-        # for a full big build (probe_phase.py)
-        cap_pad = max(cap_pad, int(os.environ.get("PGV_BUILD_CAP_FLOOR", 0)))
+        # for a full big build (probe_phase.py), and lets bench.py
+        # pre-compile a big build's exact program set with a small
+        # warmup corpus (cap_pad_for)
+        cap_pad = cap_pad_for(
+            n, int(os.environ.get("PGV_BUILD_CAP_FLOOR", 0))
+        )
         self.cap = cap_pad - 1  # dump row index (scatter sink / gather pad)
 
         # deterministic max level per size bucket: level counts above
@@ -2336,6 +2357,7 @@ class DeviceBuilder:
             else:
                 groups.append((w, [(start, size)]))
         timing = os.environ.get("PGV_BUILD_TIMING")
+        collect = GROUP_STATS is not None
         for w, batches in groups:
             t0 = time.time()
             self._ensure_rows(batches[-1][0] + batches[-1][1])
@@ -2354,19 +2376,23 @@ class DeviceBuilder:
                 jnp.int32(len(batches)),
                 width=w,
             )
-            if timing:
+            if timing or collect:
                 # a tiny download, not block_until_ready: the tunneled
                 # backend acks dispatches asynchronously, so only a
                 # value readback actually drains the device queue
                 int(np.asarray(self.arrays.entry))
                 n_el = sum(z for _, z in batches)
                 dt = time.time() - t0
-                print(
-                    f"[build] group w={w} batches={len(batches)} "
-                    f"elems={n_el} {dt:.2f}s ({n_el/max(dt,1e-9):.0f}/s)",
-                    file=sys.stderr,
-                    flush=True,
-                )
+                if collect:
+                    GROUP_STATS.append((w, n_el, dt))
+                if timing:
+                    print(
+                        f"[build] group w={w} batches={len(batches)} "
+                        f"elems={n_el} {dt:.2f}s "
+                        f"({n_el/max(dt,1e-9):.0f}/s)",
+                        file=sys.stderr,
+                        flush=True,
+                    )
 
     def run_batch(self, start: int, size: int) -> None:
         """Insert elements [start, start+size) — one dispatch per phase
@@ -2450,6 +2476,24 @@ def _tids_array(ids) -> np.ndarray:
         return np.arange(ids.start, ids.stop, ids.step, dtype=np.int64)
     return np.asarray(list(ids) if not hasattr(ids, "__len__") else ids,
                       dtype=np.int64)
+
+
+def _bit_ground_pin(index):
+    """Ground pin for bit corpora (None = honor env/auto elsewhere).
+
+    Pinning silently overriding an operator's explicit
+    PGV_BUILD_GROUND A/B is invisible otherwise — say so once."""
+    if index.kind != "bit":
+        return None
+    env = os.environ.get("PGV_BUILD_GROUND")
+    if env not in (None, "", "auto", "beam"):
+        warnings.warn(
+            f"PGV_BUILD_GROUND={env} ignored for bit corpora: the "
+            "build pins ground=beam (integer hamming ties collapse "
+            "the ivf member/hop pools, DESIGN.md 6n)",
+            stacklevel=3,
+        )
+    return "beam"
 
 
 def _prepare_dense_bulk(index, data, ids):
@@ -2637,7 +2681,7 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         # hamming-as-l2 identity: integer hamming distances tie
         # heavily, and the ivf member/hop pools collapse under ties
         # (1M bit beam recall 0.95 -> 0.72 measured, DESIGN.md 6n)
-        ground="beam" if index.kind == "bit" else None,
+        ground=_bit_ground_pin(index),
     )
 
     _phase("builder-init")
@@ -2708,8 +2752,26 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         ):
             # compact serve dtype: back the store with the compact
             # array so the padded f32 build buffer can free below
-            # (halfvec 1.25M x 1024: 5.4 GB -> 2.7 GB resident store)
-            index.store.rebind_device(g.values)
+            # (halfvec 1.25M x 1024: 5.4 GB -> 2.7 GB resident store).
+            # Only when LOSSLESS for the store (f16 store, f16 serve):
+            # re-backing an f32 store with a bf16 serve array would
+            # silently persist ROUNDED vectors on save() and feed
+            # rounded rows to host scans / byte-equality duplicate
+            # checks (the reference always persists full precision).
+            # PGV_SERVE_REBIND_LOSSY=1 opts in anyway — the 12.5M x
+            # 128-d bf16 per-chip shard needs it (the f32+bf16 pair
+            # does not fit one 16 GB chip, DESIGN.md 6l).
+            store_dt = np.dtype(index.dtype or np.float32)
+            if store_dt == np.dtype(g.values.dtype):
+                index.store.rebind_device(g.values)
+            elif os.environ.get("PGV_SERVE_REBIND_LOSSY") == "1":
+                warnings.warn(
+                    "PGV_SERVE_REBIND_LOSSY=1: store re-backed with "
+                    f"{g.values.dtype} serve rows; save()/host scans "
+                    "will see rounded vectors",
+                    stacklevel=2,
+                )
+                index.store.rebind_device(g.values)
         # Drop build-only device state NOW (packed nb0c/upc adjacency,
         # ivf member tables, upper value tables — ~5.5 GB at 10M). The
         # DeviceGraph holds its own references to everything serving
@@ -3032,8 +3094,9 @@ def bulk_insert(index, data, ids) -> int:
     if index._log is not None:
         if not isinstance(arr, np.ndarray):
             arr = np.asarray(arr)  # append log stores host rows
-        for row, tid in zip(arr, kept_tids):
-            index._log.record_insert(row, tid)
+        with index._log.batch():  # group commit: one fsync per bulk
+            for row, tid in zip(arr, kept_tids):
+                index._log.record_insert(row, tid)
     return sum(1 for t in new_tids if t)
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 from pathlib import Path
 
 import numpy as np
@@ -199,19 +200,44 @@ class AppendLog:
         self._fh = open(self.path, "a", encoding="utf-8")
         self.index = index
         # fsync-per-record gives the GenericXLog durability contract
-        # (a committed insert survives power loss, insert.rs:216-263);
-        # flush-only survives process crashes but not kernel/power ones
+        # (a committed insert survives power loss, insert.rs:216-263).
+        # ON by default, like every reference mutation; PGV_LOG_FSYNC=0
+        # opts out (flush-only: survives process crashes but not
+        # kernel/power ones). Measured on this VM: 0.29 ms/fsync
+        # (flush-only 0.001 ms) — small next to the host insert
+        # itself; bulk inserts amortize via batch() group commit.
         self.fsync = (
             fsync
             if fsync is not None
-            else os.environ.get("PGV_LOG_FSYNC", "0") == "1"
+            else os.environ.get("PGV_LOG_FSYNC", "1") != "0"
         )
+        self._defer = 0
+        self._dirty = False
 
     def _append(self, rec: dict) -> None:
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
         if self.fsync:
-            os.fsync(self._fh.fileno())
+            if self._defer:
+                self._dirty = True
+            else:
+                os.fsync(self._fh.fileno())
+
+    @contextmanager
+    def batch(self):
+        """Group commit: records appended inside the context share ONE
+        fsync at exit (the batch becomes durable together — the WAL
+        group-commit analog for bulk inserts)."""
+        self._defer += 1
+        try:
+            yield
+        finally:
+            self._defer -= 1
+            if not self._defer and self._dirty:
+                self._fh.flush()
+                if self.fsync:
+                    os.fsync(self._fh.fileno())
+                self._dirty = False
 
     def record_insert(self, value, tid: int) -> None:
         self._append(
@@ -239,39 +265,49 @@ def replay_log(index, log_path) -> int:
     log = index._log
     index._log = None  # don't re-log replays
     try:
-        with open(log_path, encoding="utf-8") as fh:
-            lines = fh.readlines()
-        recs = []
-        for ln, line in enumerate(lines):
-            stripped = line.strip()
-            if not stripped:
-                continue
-            try:
-                recs.append(json.loads(stripped))
-            except json.JSONDecodeError:
-                if ln == len(lines) - 1:
-                    import warnings
+        # Stream in BINARY mode: offsets are unambiguous bytes (a
+        # text-mode character count passed to truncate() would corrupt
+        # the last good record on any non-ASCII payload or CRLF log),
+        # and a long-lived log replays at O(1) host memory instead of
+        # buffering every decoded record. On a decode error the index
+        # is mid-replay, but load() propagates the error so the
+        # partially-replayed object is never returned.
+        with open(log_path, "rb") as fh:
+            offset = 0
+            ln = 0
+            for raw in fh:
+                line_start = offset
+                offset += len(raw)
+                ln += 1
+                stripped = raw.strip()
+                if not stripped:
+                    continue
+                try:
+                    rec = json.loads(stripped)
+                except json.JSONDecodeError:
+                    if fh.read(1) == b"":  # nothing follows: torn tail
+                        import warnings
 
-                    warnings.warn(
-                        f"append log {log_path} ends in a torn record "
-                        "(crash mid-append); truncating the tail — the "
-                        "mutation never committed",
-                        stacklevel=2,
+                        warnings.warn(
+                            f"append log {log_path} ends in a torn "
+                            "record (crash mid-append); truncating the "
+                            "tail — the mutation never committed",
+                            stacklevel=2,
+                        )
+                        with open(log_path, "r+b") as tfh:
+                            tfh.truncate(line_start)
+                        break
+                    raise ValueError(
+                        f"append log {log_path} is corrupt at line "
+                        f"{ln} (not the final record) — cannot replay"
                     )
-                    keep = sum(len(x) for x in lines[:ln])
-                    with open(log_path, "r+", encoding="utf-8") as fh:
-                        fh.truncate(keep)
-                    break
-                raise ValueError(
-                    f"append log {log_path} is corrupt at line {ln + 1} "
-                    "(not the final record) — cannot replay"
-                )
-        for rec in recs:
-            if rec["op"] == "insert":
-                index.insert(_decode_value(index, rec["value"]), rec["tid"])
-            elif rec["op"] == "delete":
-                index.delete(rec["tids"])
-            count += 1
+                if rec["op"] == "insert":
+                    index.insert(
+                        _decode_value(index, rec["value"]), rec["tid"]
+                    )
+                elif rec["op"] == "delete":
+                    index.delete(rec["tids"])
+                count += 1
     finally:
         index._log = log
     return count

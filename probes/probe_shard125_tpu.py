@@ -11,6 +11,10 @@ One process, in order:
   5. DeviceBeamScan init / amortized next / per-resume segment
 
 Run (quiet host): timeout 5400 python probes/probe_shard125_tpu.py [N]
+bf16 serving-store arm (the iterative-scan deployment config) needs
+BOTH knobs: PGV_SERVE_DTYPE=bf16 PGV_SERVE_REBIND_LOSSY=1 — the
+second frees the f32 build buffer by re-backing the store with the
+rounded serve rows (f32+bf16 pair does not fit at 12.5M, DESIGN 6l).
 """
 
 import os as _os

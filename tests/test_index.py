@@ -515,6 +515,85 @@ class TestPersistence:
         log.close()
         assert len(calls) == 1
 
+    def test_log_fsync_default_on(self, tmp_path, monkeypatch):
+        """Durability is the DEFAULT (every reference mutation is a
+        GenericXLog record, insert.rs:216-263); PGV_LOG_FSYNC=0 is the
+        explicit opt-out."""
+        from pgvector_rx_tpu.index import storage
+
+        rng = np.random.default_rng(35)
+        data = rng.random((50, 5)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=13)
+        monkeypatch.delenv("PGV_LOG_FSYNC", raising=False)
+        log = storage.AppendLog(tmp_path / "log.jsonl", idx)
+        assert log.fsync is True
+        log.close()
+        monkeypatch.setenv("PGV_LOG_FSYNC", "0")
+        log = storage.AppendLog(tmp_path / "log2.jsonl", idx)
+        assert log.fsync is False
+        log.close()
+
+    def test_log_batch_group_commit(self, tmp_path):
+        """batch() amortizes: N records inside the context share ONE
+        fsync at exit (bulk-insert group commit)."""
+        from pgvector_rx_tpu.index import storage
+
+        rng = np.random.default_rng(36)
+        data = rng.random((50, 5)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=13)
+        log = storage.AppendLog(tmp_path / "log.jsonl", idx, fsync=True)
+        calls = []
+        real_fsync = os.fsync
+        try:
+            os.fsync = lambda fd: calls.append(fd) or real_fsync(fd)
+            with log.batch():
+                for j in range(7):
+                    log.record_insert(
+                        rng.random(5).astype(np.float32), j
+                    )
+        finally:
+            os.fsync = real_fsync
+        log.close()
+        assert len(calls) == 1
+        # all seven records landed
+        text = (tmp_path / "log.jsonl").read_text()
+        assert text.count('"op": "insert"') == 7
+
+    def test_log_torn_tail_byte_offsets(self, tmp_path):
+        """Torn-tail truncation must use BYTE offsets: a multi-byte
+        UTF-8 payload in the last complete record would be corrupted
+        by a character-count truncate (r4 ADVICE)."""
+        import warnings as _warnings
+
+        rng = np.random.default_rng(37)
+        data = rng.random((60, 5)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=13)
+        idx.save(tmp_path / "ckpt")
+        log_path = tmp_path / "ckpt" / "log.jsonl"
+        v = [round(float(x), 3) for x in rng.random(5)]
+        # a complete record carrying raw multi-byte UTF-8 (json.loads
+        # accepts it; replay ignores unknown keys), then a torn tail
+        with open(log_path, "w", encoding="utf-8") as fh:
+            fh.write(
+                '{"op": "insert", "tid": 700, "value": '
+                + str(v)
+                + ', "note": "λλλ — ünïcode"}\n'
+            )
+            fh.write('{"op": "insert", "tid": 701, "val')
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            replica = HnswIndex.load(tmp_path / "ckpt")
+        assert any("torn" in str(x.message) for x in w)
+        assert replica.count == idx.count + 1  # tid 700 applied
+        # on-disk: exactly the one complete record, byte-identical
+        raw = log_path.read_bytes()
+        assert raw.endswith(b'code\xcc\x88"}\n') or raw.endswith(b'}\n')
+        assert raw.count(b"\n") == 1
+        import json as _json
+
+        rec = _json.loads(raw.decode("utf-8"))
+        assert rec["tid"] == 700
+
     def test_sparse_save_load(self, tmp_path):
         rows = [
             SparseVec.from_dense(r)
