@@ -802,6 +802,75 @@ int32_t hnsw_vacuum(void* hp, const int32_t* dels, int nd,
     return n_repaired;
 }
 
+// ---------------------------------------------------------------------
+// Flat serving export: fill the DeviceGraph array layout
+// (graph/device.py DeviceGraph.from_index) in ONE call. The
+// per-element accessor loop (hnsw_element_*) materializes Python
+// objects per element — the >2M host-graph cliff; this export is the
+// native-engine serving path that bypasses it entirely.
+// ---------------------------------------------------------------------
+
+// stats needed to size the export buffers: out[0]=n, out[1]=count of
+// live level>=1 elements (upper rows), out[2]=max level over all
+// elements, out[3]=total heap-TID count.
+void hnsw_graph_stats(void* hp, int64_t* out) {
+    Handle* h = (Handle*)hp;
+    int64_t n = (int64_t)h->elements.size();
+    int64_t n_up = 0, max_level = 0, total_tids = 0;
+    for (const Element& e : h->elements) {
+        if (e.level > max_level) max_level = e.level;
+        if (!e.deleted && e.level >= 1) n_up++;
+        total_tids += (int64_t)e.tids.size();
+    }
+    out[0] = n;
+    out[1] = n_up;
+    out[2] = max_level;
+    out[3] = total_tids;
+}
+
+// Fill caller-allocated arrays (pre-filled by the caller: ids -1,
+// trav 0, tid_count 0) with the serving layout. nb0 is [n+1, lm0]
+// row-major; upper is [n_up, lmax*m] layer-major flat (layer lc's m
+// slots at (lc-1)*m, matching build.rs:741-763's top-layer-first
+// neighbor-tuple serialization read back layer-major); deleted
+// elements keep level/tids but no adjacency and no upper row —
+// exactly DeviceGraph.from_index's semantics.
+void hnsw_export_flat(void* hp, int32_t lm0, int32_t lmax, int32_t m,
+                      int32_t* nb0, int32_t* upper, int32_t* upper_slot,
+                      int32_t* levels, uint8_t* trav, int32_t* emit_tid,
+                      int32_t* tid_count, int64_t* tid_flat,
+                      int64_t* tid_off) {
+    Handle* h = (Handle*)hp;
+    int n = (int)h->elements.size();
+    int32_t u = 0;
+    int64_t toff = 0;
+    for (int i = 0; i < n; i++) {
+        const Element& e = h->elements[i];
+        levels[i] = e.level;
+        trav[i] = e.deleted ? 0 : 1;
+        tid_off[i] = toff;
+        tid_count[i] = (int32_t)e.tids.size();
+        if (!e.tids.empty()) emit_tid[i] = (int32_t)e.tids[0];
+        for (int64_t t : e.tids) tid_flat[toff++] = t;
+        if (e.deleted) continue;
+        const auto& l0 = e.neighbors[0];
+        int c0 = std::min((int)l0.size(), (int)lm0);
+        for (int j = 0; j < c0; j++) nb0[(size_t)i * lm0 + j] = l0[j].idx;
+        if (e.level >= 1) {
+            upper_slot[i] = u;
+            int lt = std::min(e.level, (int)lmax);
+            for (int lc = 1; lc <= lt; lc++) {
+                const auto& nl = e.neighbors[lc];
+                int c = std::min((int)nl.size(), (int)m);
+                int32_t* dst = upper + ((size_t)u * lmax + (lc - 1)) * m;
+                for (int j = 0; j < c; j++) dst[j] = nl[j].idx;
+            }
+            u++;
+        }
+    }
+    tid_off[n] = toff;
+}
+
 // Batch search convenience (OpenMP-free; callers thread if needed)
 void hnsw_search_batch(void* hp, const float* queries, int bq, int ef,
                        int32_t* out_ids, float* out_dists) {

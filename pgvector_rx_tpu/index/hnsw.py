@@ -519,7 +519,14 @@ class HnswIndex:
         elif method == "native":
             from .. import native
 
-            native.native_bulk_build(idx, data, list(ids))
+            if host_graph:
+                native.native_bulk_build(idx, data, list(ids))
+            else:
+                # serving-only: flat export straight from the C++
+                # arena, no per-element Python objects (the >2M
+                # materialization cliff); per-shard engine for
+                # multi-million sharded builds on CPU hosts
+                native.native_bulk_build_serving(idx, data, list(ids))
         else:
             idx.add_batch(data, ids)
         return idx

@@ -203,6 +203,22 @@ def _load():
     lib.hnsw_set_entry.argtypes = [ctypes.c_void_p, c_i32]
     lib.hnsw_vacuum.restype = c_i32
     lib.hnsw_vacuum.argtypes = [ctypes.c_void_p, p(c_i32), ctypes.c_int, p(c_i32)]
+    lib.hnsw_graph_stats.argtypes = [ctypes.c_void_p, p(c_i64)]
+    lib.hnsw_export_flat.argtypes = [
+        ctypes.c_void_p,
+        c_i32,
+        c_i32,
+        c_i32,
+        p(c_i32),  # nb0
+        p(c_i32),  # upper
+        p(c_i32),  # upper_slot
+        p(c_i32),  # levels
+        p(ctypes.c_uint8),  # trav
+        p(c_i32),  # emit_tid
+        p(c_i32),  # tid_count
+        p(c_i64),  # tid_flat
+        p(c_i64),  # tid_off
+    ]
     _lib = lib
     return _lib
 
@@ -347,6 +363,57 @@ class NativeGraph:
                 [(float(d_buf[i]), int(id_buf[i])) for i in range(min(nn, cap))]
             )
         return level, tids, layers
+
+    def export_flat(self, lm0: int, m: int):
+        """Whole-graph serving export in ONE native call: the
+        DeviceGraph array layout (graph/device.py from_index) without
+        per-element Python objects — the native path past the >2M
+        host-graph materialization cliff. Returns a dict of numpy
+        arrays + scalars (n, lmax, entry)."""
+        stats = np.zeros(4, dtype=np.int64)
+        self._lib.hnsw_graph_stats(
+            self._h, stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        )
+        n, n_up, max_level, total_tids = (int(x) for x in stats)
+        lmax = max(1, max_level)
+        nb0 = np.full((n + 1, lm0), -1, dtype=np.int32)
+        upper = np.full((max(n_up, 1), lmax * m), -1, dtype=np.int32)
+        upper_slot = np.full(n + 1, -1, dtype=np.int32)
+        levels = np.full(n + 1, -1, dtype=np.int32)
+        trav = np.zeros(n + 1, dtype=np.uint8)
+        emit_tid = np.full(n + 1, -1, dtype=np.int32)
+        tid_count = np.zeros(n + 1, dtype=np.int32)
+        tid_flat = np.zeros(max(total_tids, 1), dtype=np.int64)
+        tid_off = np.zeros(n + 1, dtype=np.int64)
+        self._lib.hnsw_export_flat(
+            self._h,
+            lm0,
+            lmax,
+            m,
+            _ptr(nb0, ctypes.c_int32),
+            _ptr(upper, ctypes.c_int32),
+            _ptr(upper_slot, ctypes.c_int32),
+            _ptr(levels, ctypes.c_int32),
+            _ptr(trav, ctypes.c_uint8),
+            _ptr(emit_tid, ctypes.c_int32),
+            _ptr(tid_count, ctypes.c_int32),
+            _ptr(tid_flat, ctypes.c_int64),
+            _ptr(tid_off, ctypes.c_int64),
+        )
+        return dict(
+            n=n,
+            lmax=lmax,
+            entry=self.entry,
+            neighbors0=nb0,
+            upper_neighbors=upper,
+            upper_slot=upper_slot,
+            levels=levels,
+            traversable=trav.astype(bool),
+            emit_tid=emit_tid,
+            tid_count=tid_count,
+            tid_flat=tid_flat[:total_tids],
+            tid_off=tid_off,
+        )
 
     def search(self, query, ef: int):
         ids = np.full(ef, -1, dtype=np.int32)
@@ -588,3 +655,134 @@ def native_bulk_build(index, data, ids) -> None:
     entry = ng.entry
     index.entry = entry if entry >= 0 else None
     index._invalidate_device()
+
+
+def native_bulk_build_serving(index, data, ids) -> None:
+    """Native C++ build -> serving-only index: the graph goes straight
+    from the C++ arena into flat DeviceGraph arrays (one export call),
+    never materializing per-element Python objects.
+
+    This is the per-shard engine for multi-million sharded builds on
+    CPU hosts (configs/sharded_100m.py validation at >=5M total rows:
+    the XLA-CPU device build runs ~340 rows/s on one core, the native
+    engine ~10-30x that) and the scaling answer to the >2M host-graph
+    materialization cliff (VERDICT r4 #7): mutation-capable Python
+    graphs stay practical to ~2M; past that, serving-only indexes —
+    which still take insert_bulk — come from this path or device
+    builds. Dense and bit kinds (sparse serving stays on the device
+    path)."""
+    import jax.numpy as jnp
+
+    from ..constants import hnsw_get_layer_m
+    from ..graph.device import (
+        DeviceGraph,
+        _serve_dtype_for,
+        _serve_value_arrays,
+    )
+
+    if index.kind == "sparse":
+        raise ValueError(
+            "serving-only native build supports dense and bit kinds"
+        )
+    m = index.params.m
+    lm0 = hnsw_get_layer_m(m, 0)
+    store_dtype = index.dtype or np.float32
+
+    if index.kind == "dense":
+        from ..graph.device_build import _prepare_dense_bulk
+
+        rows, kept = _prepare_dense_bulk(index, data, ids)
+        if index.dtype is not None and index.dtype != np.float32:
+            # score the f16-STORED value (reload-equivalence), like
+            # the device build's store-dtype roundtrip
+            rows = rows.astype(index.dtype).astype(np.float32)
+        n = len(rows)
+        if n == 0:
+            return
+        levels = index.random_levels(n)
+        ng = NativeGraph(
+            index.dim, m, index.params.ef_construction, index.metric
+        )
+        ng.bulk_insert(rows, levels, kept)
+    else:  # bit
+        prepared, kept_list = [], []
+        for value, tid in zip(data, ids):
+            p = index.prepare_value(value)
+            if p is None:
+                continue
+            prepared.append(np.asarray(p, np.uint8))
+            kept_list.append(int(tid))
+        n = len(prepared)
+        if n == 0:
+            return
+        kept = np.array(kept_list, dtype=np.int64)
+        packed = np.stack(prepared)
+        rows = np.stack([_bit_words(r) for r in prepared])
+        levels = index.random_levels(n)
+        ng = NativeGraph(
+            rows.shape[1], m, index.params.ef_construction, index.metric,
+            kind="bit",
+        )
+        ng.bulk_insert(rows, levels, kept)
+
+    flat = ng.export_flat(lm0, m)
+    n_el = flat["n"]
+    tid_off = flat["tid_off"]
+    tid_flat = flat["tid_flat"]
+    # slot -> first heap tid (int64-exact) -> input row, vectorized
+    first_tid = tid_flat[tid_off[:n_el]]
+    order = np.argsort(kept, kind="stable")
+    row_idx = order[np.searchsorted(kept[order], first_tid)]
+    if index.kind == "dense":
+        index.store.bulk_load(rows[row_idx].astype(store_dtype))
+    else:
+        index.store.bulk_load(packed[row_idx])
+
+    # heap TID lists (multi-TID duplicate emission, <=10 per element)
+    counts = flat["tid_count"][:n_el]
+    flat_list = tid_flat.tolist()
+    offs = tid_off.tolist()
+    index.heap_tids = [
+        flat_list[offs[i] : offs[i] + int(counts[i])] for i in range(n_el)
+    ]
+
+    if index.kind == "dense":
+        vals = np.zeros((n_el + 1, index.dim), dtype=np.float32)
+        vals[:n_el] = rows[row_idx]
+        value_kwargs = _serve_value_arrays(
+            jnp.asarray(vals), _serve_dtype_for(index)
+        )
+    else:
+        # device bit engines use the ops/bits.pack_bits layout
+        # (MSB-first within each u32), NOT the native engine's raw
+        # byte-reinterpret words — repack from the byte rows
+        from ..ops.bits import pack_bits
+
+        bits_unpacked = np.unpackbits(packed[row_idx], axis=1)[
+            :, : index.dim
+        ]
+        dev_words = pack_bits(bits_unpacked)
+        w = dev_words.shape[1]
+        words = np.zeros((n_el + 1, w), dtype=np.uint32)
+        words[:n_el] = dev_words
+        value_kwargs = dict(words=jnp.asarray(words))
+
+    entry = ng.entry
+    index.entry = entry if entry >= 0 else None
+    index.serving_only = True
+    index._device = DeviceGraph(
+        kind=index.kind,
+        metric=index.metric,
+        cap=n_el,
+        m=m,
+        entry=entry,
+        entry_level=int(flat["levels"][entry]) if entry >= 0 else -1,
+        neighbors0=jnp.asarray(flat["neighbors0"]),
+        upper_neighbors=jnp.asarray(flat["upper_neighbors"]),
+        upper_slot=jnp.asarray(flat["upper_slot"]),
+        levels=jnp.asarray(flat["levels"]),
+        traversable=jnp.asarray(flat["traversable"]),
+        emit_tid=jnp.asarray(flat["emit_tid"]),
+        tid_count=jnp.asarray(flat["tid_count"]),
+        **value_kwargs,
+    )

@@ -22,6 +22,7 @@ the single-chip build/insert/vacuum machinery.
 from __future__ import annotations
 
 import functools
+import sys as _sys
 from typing import Optional, Sequence
 
 import jax
@@ -69,8 +70,17 @@ class ShardedHnswIndex:
         seed: int = 0,
         host_graph: bool = True,
         dtype=None,
+        checkpoint_dir=None,
     ) -> "ShardedHnswIndex":
         """Round-robin partition + per-shard build.
+
+        ``checkpoint_dir``: per-shard build checkpointing — each
+        completed shard is saved to ``{dir}/shard_{i:05d}`` the moment
+        it finishes, and a rerun of the same build RESUMES by loading
+        completed shards instead of rebuilding them. A timeout/crash
+        mid-build therefore always leaves per-shard evidence behind
+        (the r4 2M CPU-mesh attempt timed out after 7,500s with no
+        partial record — this is that lesson).
 
         Each shard's device build runs with that shard's mesh device as
         the default (so at 100M-scale the build arrays live on the chip
@@ -106,10 +116,41 @@ class ShardedHnswIndex:
             n = int(data.shape[0]) if hasattr(data, "shape") else len(data)
             if ids is not None and not callable(ids):
                 ids = np.asarray(ids)
+        ckpt = None
+        if checkpoint_dir is not None:
+            from pathlib import Path
+
+            ckpt = Path(checkpoint_dir)
+            ckpt.mkdir(parents=True, exist_ok=True)
         shards = []
         offset = 0  # sequential TID blocks for streamed input
         for s in range(n_shards):
             dev = devices[s % len(devices)]
+            if ckpt is not None and (
+                ckpt / f"shard_{s:05d}" / "meta.json"
+            ).exists():
+                import time as _time
+
+                t0 = _time.time()
+                with jax.default_device(dev):
+                    shards.append(HnswIndex.load(ckpt / f"shard_{s:05d}"))
+                print(
+                    f"[sharded.build] shard {s}/{n_shards}: resumed "
+                    f"from checkpoint ({_time.time()-t0:.1f}s, "
+                    f"{shards[-1].num_tuples} tuples)",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+                if streamed and ids is None:
+                    # sequential TID blocks can't be reconstructed for
+                    # a skipped partition (duplicate folding caps TID
+                    # lists, so num_tuples is not the partition size)
+                    raise ValueError(
+                        "checkpoint resume with streamed data needs "
+                        "callable ids (sequential TID blocks cannot "
+                        "span a skipped shard)"
+                    )
+                continue
             if streamed:
                 part = data(s, n_shards)
                 if callable(ids):
@@ -131,6 +172,9 @@ class ShardedHnswIndex:
                 )
             if _is_device_data(part):
                 part = jax.device_put(part, dev)  # no-op when already there
+            import time as _time
+
+            t0 = _time.time()
             with jax.default_device(dev):
                 shards.append(
                     HnswIndex.build(
@@ -145,6 +189,23 @@ class ShardedHnswIndex:
                     )
                 )
             del part  # streamed partitions free before the next shard
+            dt = _time.time() - t0
+            print(
+                f"[sharded.build] shard {s}/{n_shards}: built "
+                f"{shards[-1].num_tuples} tuples in {dt:.1f}s "
+                f"({shards[-1].num_tuples/max(dt,1e-9):.0f}/s)",
+                file=_sys.stderr,
+                flush=True,
+            )
+            if ckpt is not None:
+                shards[-1].save(ckpt / f"shard_{s:05d}")
+        if ckpt is not None:
+            import json as _json
+            import os as _os
+
+            tmp = ckpt / "sharded.json.tmp"
+            tmp.write_text(_json.dumps({"sharded": True, "n_shards": n_shards}))
+            _os.replace(tmp, ckpt / "sharded.json")
         return cls(shards, mesh=mesh)
 
     def insert(self, value, tid: Optional[int] = None):

@@ -176,3 +176,71 @@ class TestNativeBitSparse:
         _, ids = idx.search(bits[:10], 5, SearchParams(ef_search=40),
                             method="host")
         assert recall_at_k(ids, gt, 5) >= 0.9
+
+
+class TestNativeServingExport:
+    """Flat serving export: native build -> DeviceGraph without
+    per-element Python objects (the >2M materialization answer)."""
+
+    def test_serving_matches_host_graph_build(self):
+        rng = np.random.default_rng(90)
+        data = rng.integers(0, 60, size=(900, 12)).astype(np.float32)
+        a = HnswIndex.build(
+            data, metric="l2", method="native", seed=9, host_graph=True
+        )
+        b = HnswIndex.build(
+            data, metric="l2", method="native", seed=9, host_graph=False
+        )
+        assert b.serving_only and not b.elements
+        assert b.entry == a.entry
+        assert b.heap_tids == a.heap_tids
+        ga, gb = a.device_graph(), b.device_graph()
+        assert np.array_equal(
+            np.asarray(ga.neighbors0), np.asarray(gb.neighbors0)
+        )
+        assert np.array_equal(
+            np.asarray(ga.upper_neighbors), np.asarray(gb.upper_neighbors)
+        )
+        assert np.array_equal(
+            np.asarray(ga.upper_slot), np.asarray(gb.upper_slot)
+        )
+        assert np.array_equal(np.asarray(ga.levels), np.asarray(gb.levels))
+        q = rng.integers(0, 60, size=(16, 12)).astype(np.float32)
+        da, ia = a.search(q, 5, SearchParams(ef_search=40))
+        db, ib = b.search(q, 5, SearchParams(ef_search=40))
+        assert np.array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-5)
+
+    def test_serving_duplicate_fold_and_mutation_guard(self):
+        data = np.tile(np.array([[4.0, 5.0]], dtype=np.float32), (25, 1))
+        idx = HnswIndex.build(
+            data, metric="l2", method="native", host_graph=False
+        )
+        counts = sorted((len(t) for t in idx.heap_tids if t), reverse=True)
+        assert counts[0] == 10  # HNSW_HEAPTIDS cap
+        with pytest.raises(RuntimeError):
+            idx.insert(np.array([1.0, 2.0], dtype=np.float32), 999)
+
+    def test_serving_cosine_normalizes(self):
+        rng = np.random.default_rng(91)
+        data = rng.standard_normal((600, 10)).astype(np.float32)
+        idx = HnswIndex.build(
+            data, metric="cosine", method="native", seed=4,
+            host_graph=False,
+        )
+        q = rng.standard_normal((10, 10)).astype(np.float32)
+        gt = brute_force(data, q, "cosine", 5)
+        _, ids = idx.search(q, 5, SearchParams(ef_search=64))
+        assert recall_at_k(ids, gt, 5) >= 0.93
+
+    def test_serving_bit_kind(self):
+        rng = np.random.default_rng(92)
+        bits = rng.integers(0, 2, size=(500, 48)).astype(np.uint8)
+        idx = HnswIndex.build(
+            bits, metric="hamming", method="native", host_graph=False
+        )
+        assert idx.serving_only
+        gt = brute_force(bits, bits[:10], "hamming", 5)
+        _, ids = idx.search(bits[:10], 5, SearchParams(ef_search=40))
+        assert recall_at_k(ids, gt, 5) >= 0.9
