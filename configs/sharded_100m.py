@@ -99,6 +99,16 @@ def main():
     def part_ids(s, n_shards):
         return np.arange(s, n, n_shards)
 
+    # PGV_100M_METHOD=native: per-shard C++ build + flat serving
+    # export — the engine that makes >=5M total rows executable on a
+    # 1-core CPU host (the XLA-CPU device build runs ~340 rows/s total
+    # there, DESIGN.md 6o); PGV_100M_CKPT=<dir>: per-shard build
+    # checkpoints (a timeout leaves completed shards behind; a rerun
+    # resumes from them).
+    method = os.environ.get(
+        "PGV_100M_METHOD",
+        "device" if n >= 160_000 else "host",
+    )
     t0 = time.time()
     idx = ShardedHnswIndex.build(
         part,
@@ -106,14 +116,50 @@ def main():
         metric="l2",
         ids=part_ids,
         mesh=mesh,
-        method="device" if n >= 160_000 else "host",
-        host_graph=n < 160_000,
+        method=method,
+        host_graph=method == "host",
+        checkpoint_dir=os.environ.get("PGV_100M_CKPT"),
     )
     print(f"sharded build: {time.time()-t0:.1f}s", flush=True)
 
     # SPMD batch search (all_gather merge over the mesh)
     d, tids = idx.search(queries, 10, SearchParams(ef_search=40))
     assert d.shape == (n_q, 10)
+
+    # recall vs chunked brute force (exact engine is recall-1.0 by
+    # construction; the beam engine exercises the 100M serving path)
+    gt_d = np.full((n_q, 10), np.inf, dtype=np.float32)
+    gt_i = np.full((n_q, 10), -1, dtype=np.int64)
+    for s0 in range(0, n, 1_000_000):
+        blk = data[s0 : s0 + 1_000_000]
+        d2 = (
+            (queries**2).sum(1)[:, None]
+            - 2.0 * queries @ blk.T
+            + (blk**2).sum(1)[None, :]
+        )
+        cand = np.argpartition(d2, 9, axis=1)[:, :10]
+        cd = np.take_along_axis(d2, cand, axis=1)
+        all_d = np.concatenate([gt_d, cd], axis=1)
+        all_i = np.concatenate([gt_i, cand + s0], axis=1)
+        sel = np.argsort(all_d, axis=1)[:, :10]
+        gt_d = np.take_along_axis(all_d, sel, axis=1)
+        gt_i = np.take_along_axis(all_i, sel, axis=1)
+    rec = np.mean(
+        [len(set(tids[b]) & set(gt_i[b])) / 10 for b in range(n_q)]
+    )
+    print(f"search recall@10 vs brute force: {rec:.4f}", flush=True)
+    t0 = time.time()
+    _, tids_b = idx.search(
+        queries, 10, SearchParams(ef_search=40), engine="beam"
+    )
+    rec_b = np.mean(
+        [len(set(tids_b[b]) & set(gt_i[b])) / 10 for b in range(n_q)]
+    )
+    print(
+        f"beam-engine recall@10: {rec_b:.4f} "
+        f"({time.time()-t0:.1f}s for {n_q} queries)",
+        flush=True,
+    )
     gt_self = idx.search(data[:16], 1)[1][:, 0]
     print(f"self-hit: {(gt_self == np.arange(16)).mean():.2f}", flush=True)
 

@@ -137,8 +137,10 @@ class HnswIndex:
         if self.serving_only and not self.elements:
             # serving-only bulk build keeps no host GraphElements; the
             # store count is the live-row count (no host mutation paths
-            # exist to delete in this mode)
-            return self.store.count
+            # exist to delete in this mode). _serving_dead: rows that
+            # were already deleted in a host-graph checkpoint loaded
+            # with serving=True (storage._load_host_as_serving)
+            return self.store.count - getattr(self, "_serving_dead", 0)
         return sum(
             1 for e in self.elements if not e.deleted and e.level >= 0
         )
@@ -628,10 +630,14 @@ class HnswIndex:
             storage.save(self, path)
 
     @classmethod
-    def load(cls, path) -> "HnswIndex":
+    def load(cls, path, serving: bool = False) -> "HnswIndex":
+        """Reload a checkpoint. ``serving=True`` converts a host-graph
+        checkpoint into a serving-only index with vectorized numpy
+        (seconds at any scale vs minutes of per-element Python
+        materialization past ~2M rows; see storage.load)."""
         from . import storage
 
-        return storage.load(path)
+        return storage.load(path, serving=serving)
 
     def enable_log(self, path) -> None:
         """Attach an append-only insert log (WAL analog)."""

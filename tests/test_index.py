@@ -594,6 +594,50 @@ class TestPersistence:
         rec = _json.loads(raw.decode("utf-8"))
         assert rec["tid"] == 700
 
+    def test_serving_load_of_host_checkpoint(self, tmp_path):
+        """load(serving=True) converts a host-graph checkpoint to a
+        serving-only index via vectorized numpy (the >2M Python
+        materialization answer): identical DeviceGraph arrays and
+        search results, correct live count across vacuumed gaps, and
+        dense append-log inserts replayed through insert_bulk."""
+        rng = np.random.default_rng(41)
+        data = rng.standard_normal((1200, 8)).astype(np.float32)
+        idx = HnswIndex.build(data, metric="l2", method="host", seed=5)
+        idx.delete(range(50, 150))
+        idx.vacuum()
+        idx.save(tmp_path / "ckpt")
+        a = HnswIndex.load(tmp_path / "ckpt")
+        b = HnswIndex.load(tmp_path / "ckpt", serving=True)
+        assert b.serving_only and not b.elements
+        assert b.count == a.count
+        ga, gb = a.device_graph(), b.device_graph()
+        for f in (
+            "neighbors0",
+            "upper_neighbors",
+            "upper_slot",
+            "levels",
+            "traversable",
+            "emit_tid",
+            "tid_count",
+        ):
+            assert np.array_equal(
+                np.asarray(getattr(ga, f)), np.asarray(getattr(gb, f))
+            ), f
+        q = rng.standard_normal((20, 8)).astype(np.float32)
+        d1, i1 = a.search(q, 10)
+        d2, i2 = b.search(q, 10)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        # pending dense log inserts replay via insert_bulk
+        idx.enable_log(tmp_path / "ckpt" / "log.jsonl")
+        for j in range(10):
+            idx.insert(rng.standard_normal(8).astype(np.float32), 7000 + j)
+        c = HnswIndex.load(tmp_path / "ckpt", serving=True)
+        assert c.num_tuples == idx.num_tuples
+        # logged deletes cannot apply to a serving-only load
+        idx.delete([7000])
+        with pytest.raises(ValueError, match="serving load"):
+            HnswIndex.load(tmp_path / "ckpt", serving=True)
+
     def test_sparse_save_load(self, tmp_path):
         rows = [
             SparseVec.from_dense(r)
