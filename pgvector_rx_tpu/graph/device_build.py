@@ -635,16 +635,26 @@ class DeviceBuilder:
         # the as-built graph (the reference's construction search as
         # fixed-trip tensor ops); "ivf" scores the members of the
         # nearest upper-row cells exactly on the MXU — no serial walk.
-        # "auto" (default) picks ivf for the MXU metrics: the r4 arm
-        # A/B measured the beam descent as the WHOLE flat 10M per-batch
-        # premium (16.45 -> 10.43 s/group under ivf, DESIGN.md 6i) and
-        # ivf beats the descent at the 1M shape too (6j). l1 has no
-        # matmul identity and jacbits needs the l2 transform in the
-        # member scorer — both keep the descent.
+        # "auto" (default) picks ivf for the MXU metrics below 512
+        # dims: the r4 arm A/B measured the beam descent as the WHOLE
+        # flat 10M per-batch premium (16.45 -> 10.43 s/group under
+        # ivf, DESIGN.md 6i) and ivf beats the descent at the 1M shape
+        # too (6j). At HIGH dim the ivf pool's cell-local candidates
+        # undershoot the graph engine's 0.95 recall bar and hops can't
+        # close it (r5 arms, 1M x 768-d cosine beam(ef=40): ivf-hop16
+        # 0.904, hop32 0.924 at -9% build, beam ground 0.961 at -19% —
+        # DESIGN.md 6p), so dim >= 512 pins the descent ground:
+        # quality bar first, build rate second. l1 has no matmul
+        # identity and jacbits needs the l2 transform in the member
+        # scorer — both keep the descent at any dim.
         if ground is None:
             ground = os.environ.get("PGV_BUILD_GROUND", "auto")
         if ground == "auto":
-            ground = "ivf" if metric in ("l2", "ip", "cosine") else "beam"
+            ground = (
+                "ivf"
+                if metric in ("l2", "ip", "cosine") and self.dim < 512
+                else "beam"
+            )
         self.ivf = ground == "ivf"
         self.ivf_cap = int(os.environ.get("PGV_BUILD_IVF_CAP", 64))
         self.ivf_probes = int(os.environ.get("PGV_BUILD_IVF_PROBES", 16))

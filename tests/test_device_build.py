@@ -512,3 +512,25 @@ class TestBitDeviceBuild:
             for b in range(20)
         ])
         assert rec >= 0.8, rec
+
+
+def test_ground_auto_is_dim_aware(monkeypatch):
+    """auto ground: ivf for MXU metrics below 512 dims, beam descent
+    at high dim (r5 arms: 768-d cosine ivf-hop tops out at 0.924
+    beam-serving recall vs the 0.95 bar; beam ground reads 0.961 —
+    DESIGN.md 6p) and for non-MXU metrics at any dim."""
+    from pgvector_rx_tpu.graph.device_build import DeviceBuilder
+
+    monkeypatch.delenv("PGV_BUILD_GROUND", raising=False)
+    rng = np.random.default_rng(0)
+
+    def builder(metric, dim):
+        vecs = rng.standard_normal((64, dim)).astype(np.float32)
+        levels = np.zeros(64, dtype=np.int32)
+        return DeviceBuilder(metric, vecs, levels, 16, 64)
+
+    assert builder("l2", 128).ivf is True
+    assert builder("cosine", 128).ivf is True
+    assert builder("cosine", 768).ivf is False
+    assert builder("ip", 1024).ivf is False
+    assert builder("l1", 128).ivf is False
