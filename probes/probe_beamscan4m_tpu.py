@@ -56,6 +56,7 @@ def main():
         f"(serve dtype {os.environ['PGV_SERVE_DTYPE']})")
     q_host = np.asarray(queries)
 
+    ef = int(os.environ.get("PGV_BS4M_EF", 40))
     for c in (50, 500):
         mask = (np.arange(n) % c) == 0
         # GT: the exact engine pre-filters INSIDE the sweep
@@ -63,7 +64,7 @@ def main():
             index, queries, k, engine="exact", filter_mask=mask
         )
         for mode in ("relaxed_order", "strict_order"):
-            params = SearchParams(ef_search=40, iterative_scan=mode)
+            params = SearchParams(ef_search=ef, iterative_scan=mode)
             correct = 0
             t0 = time.time()
             for b in range(n_q):
@@ -73,7 +74,9 @@ def main():
                 got = [tid for tid, _ in sc.take(k)]
                 correct += len(set(got) & set(gt[b].tolist()))
             rec = correct / (n_q * k)
-            log(f"c={c} ({100/c:.1f}%) {mode}: recall@20={rec:.4f} "
+            log(f"c={c} ({100/c:.1f}%) {mode} ef={ef} "
+                f"ground={os.environ.get('PGV_BUILD_GROUND', 'auto')}: "
+                f"recall@20={rec:.4f} "
                 f"[{(time.time()-t0)/n_q*1e3:.0f} ms/q]")
 
 
