@@ -73,3 +73,21 @@ class TestFlat:
         small.add_batch(rng.random((20, 4)).astype(np.float32))
         # ratio = 1 for tiny corpora -> no index advantage
         assert not cost.should_use_index(small, True, 40)
+
+
+def test_bench_steady_build_rate():
+    """steady excludes groups under half the weighted-median rate and
+    reports their excess time (bench.py capture robustness, r5)."""
+    import bench
+
+    # five steady groups at 1000 el/s + one cold window group
+    stats = [(0, 10000, 10.0)] * 5 + [(0, 10000, 55.0)]
+    steady, cold = bench.steady_build_rate(stats)
+    assert abs(steady - 1000.0) < 1e-6
+    assert abs(cold - 45.0) < 1e-6
+    # uniform groups: nothing excluded
+    steady, cold = bench.steady_build_rate([(0, 500, 1.0)] * 4)
+    assert abs(steady - 500.0) < 1e-6 and cold == 0.0
+    # empty stats -> nan, 0
+    steady, cold = bench.steady_build_rate([])
+    assert steady != steady and cold == 0.0

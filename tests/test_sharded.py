@@ -315,3 +315,56 @@ class TestShardedServingOnly:
         assert [dd for _, dd in items] == sorted(dd for _, dd in items)
         with pytest.raises(RuntimeError):
             idx.shards[0].delete([1])
+
+
+class TestShardedCheckpointResume:
+    """Per-shard build checkpointing (r5): each shard saves the moment
+    it finishes; a rerun resumes from completed shards."""
+
+    def test_build_checkpoints_and_resumes(self, tmp_path):
+        rng = np.random.default_rng(95)
+        data = rng.standard_normal((4000, 10)).astype(np.float32)
+        idx = ShardedHnswIndex.build(
+            data, n_shards=4, metric="l2", method="native",
+            host_graph=False, seed=9, checkpoint_dir=tmp_path / "ck",
+        )
+        # all four shard checkpoints + the sharded manifest exist
+        for s in range(4):
+            assert (tmp_path / "ck" / f"shard_{s:05d}" / "meta.json").exists()
+        assert (tmp_path / "ck" / "sharded.json").exists()
+        q = rng.standard_normal((16, 10)).astype(np.float32)
+        d1, t1 = idx.search(q, 5, SearchParams(ef_search=40))
+        # resume: same call loads every shard instead of rebuilding
+        idx2 = ShardedHnswIndex.build(
+            data, n_shards=4, metric="l2", method="native",
+            host_graph=False, seed=9, checkpoint_dir=tmp_path / "ck",
+        )
+        d2, t2 = idx2.search(q, 5, SearchParams(ef_search=40))
+        assert np.array_equal(t1, t2)
+        # partial resume: drop one shard's checkpoint, rebuild only it
+        import shutil
+
+        shutil.rmtree(tmp_path / "ck" / "shard_00002")
+        idx3 = ShardedHnswIndex.build(
+            data, n_shards=4, metric="l2", method="native",
+            host_graph=False, seed=9, checkpoint_dir=tmp_path / "ck",
+        )
+        d3, t3 = idx3.search(q, 5, SearchParams(ef_search=40))
+        assert np.array_equal(t1, t3)
+
+    def test_streamed_resume_needs_callable_ids(self, tmp_path):
+        rng = np.random.default_rng(96)
+        data = rng.standard_normal((2000, 8)).astype(np.float32)
+
+        def part(s, n_shards):
+            return data[s::n_shards]
+
+        ShardedHnswIndex.build(
+            part, n_shards=2, metric="l2", method="native",
+            host_graph=False, seed=9, checkpoint_dir=tmp_path / "ck",
+        )
+        with pytest.raises(ValueError, match="callable ids"):
+            ShardedHnswIndex.build(
+                part, n_shards=2, metric="l2", method="native",
+                host_graph=False, seed=9, checkpoint_dir=tmp_path / "ck",
+            )
