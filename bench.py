@@ -284,9 +284,22 @@ def main():
             warm_input = (
                 data_dev[:n_warm] if device_mode else data[:n_warm]
             )
+            # pin EVERY data-dependent shape to the main build's: the
+            # element capacity (CAP_FLOOR) and the upper/sub-table pads
+            # (UPPER_FLOOR/SUB_FLOORS, derived from the main build's
+            # seed-deterministic level draws) — otherwise the warmed
+            # programs miss on those shapes and the timed build pays
+            # 45-171s recompiles (r5 truly-cold run: 2,724 vec/s e2e)
+            probe_idx = HnswIndex(dim, metric="l2", seed=1)
+            uf, subs = device_build.shape_floors_for(
+                n, probe_idx.params.m, probe_idx.random_levels(n)
+            )
+            del probe_idx
             os.environ["PGV_BUILD_CAP_FLOOR"] = str(
                 device_build.cap_pad_for(n)
             )
+            os.environ["PGV_BUILD_UPPER_FLOOR"] = str(uf)
+            os.environ["PGV_BUILD_SUB_FLOORS"] = subs
             try:
                 warm_idx = HnswIndex.build(
                     warm_input, metric="l2", method="device", seed=1,
@@ -294,6 +307,8 @@ def main():
                 )
             finally:
                 del os.environ["PGV_BUILD_CAP_FLOOR"]
+                del os.environ["PGV_BUILD_UPPER_FLOOR"]
+                del os.environ["PGV_BUILD_SUB_FLOORS"]
             del warm_idx, warm_input
             import gc
 

@@ -120,6 +120,31 @@ def cap_pad_for(n: int, cap_floor: int = 0) -> int:
     return max(cap_pad, cap_floor)
 
 
+def shape_floors_for(n: int, m: int, levels: "np.ndarray"):
+    """(upper_floor, sub_floors_csv) pinning the upper-table and
+    per-layer sub-table pads an n-row build with these level draws
+    will pick. PGV_BUILD_CAP_FLOOR pins the element-capacity shapes,
+    but the upper tables pad to data-dependent pow2 buckets
+    (_next_pow2 of the actual level>=l counts) — a small warmup corpus
+    lands in different buckets and its "warm" programs miss, leaving
+    45-171s recompiles INSIDE the timed build (BENCH r5 cold run:
+    2,724 vec/s e2e vs 13,616 steady). Builds are seed-deterministic,
+    so the bench pre-draws the big build's exact level array and pins
+    these floors for the warmup build (PGV_BUILD_UPPER_FLOOR /
+    PGV_BUILD_SUB_FLOORS)."""
+    cap_pad = cap_pad_for(n)
+    lmax = max(
+        int(math.log(_next_pow2(cap_pad)) / math.log(max(m, 2))) + 3, 1
+    )
+    lv = np.minimum(np.asarray(levels, dtype=np.int32), lmax)
+    upper_floor = _next_pow2(int((lv >= 1).sum()) + 1)
+    subs = ",".join(
+        str(max(128, _next_pow2(int((lv >= lc).sum()) + 1)))
+        for lc in range(2, lmax + 1)
+    )
+    return upper_floor, subs
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "dim"))
 def _stream_init(rows: int, dim: int):
     """All three streaming buffers in ONE program (each fresh program
@@ -842,9 +867,19 @@ class DeviceBuilder:
         # as the main table's shuffled slots.
         upper_sub = []
         up_levels_host = levels[ups] if self.n_upper else levels[:0]
+        # PGV_BUILD_SUB_FLOORS: comma list of per-layer (lc=2..) pad
+        # floors — lets bench warmup pin the sub-tables to a bigger
+        # build's exact static shapes (see shape_floors_for)
+        sub_floors = [
+            int(x)
+            for x in os.environ.get("PGV_BUILD_SUB_FLOORS", "").split(",")
+            if x
+        ]
         for lc in range(2, self.lmax + 1):
             sel = np.nonzero(up_levels_host >= lc)[0]  # indices into ups
             pad_l = max(128, _next_pow2(len(sel) + 1))
+            if len(sub_floors) >= lc - 1:
+                pad_l = max(pad_l, sub_floors[lc - 2])
             perm_l = np.random.default_rng(0xA953 + lc).permutation(
                 max(len(sel), 1)
             )[: len(sel)].astype(np.int32)
@@ -2664,6 +2699,35 @@ def bulk_build(index, data, ids, host_graph: bool = True,
             return
         vectors = np.stack(prepared).astype(np.float32)
     _phase("prep")
+
+    # MIPS build geometry (DESIGN 6t, opt-in): ip's raw order distance
+    # -<x,y> is not a metric between stored points, and Algorithm-4
+    # selection degrades on it at high dim (1M x 1024-d ip beam(ef=40)
+    # 0.846/0.884 across grounds, DESIGN 6m/7). Build the graph in the
+    # augmented-l2 space instead: rows gain a sqrt(M^2-|x|^2) column
+    # (all on the radius-M sphere -> true metric), and the builder runs
+    # its plain l2 machinery. Query ip ranking is exactly preserved
+    # (q'=[q;0]), so serving needs no change; the augmentation column
+    # is sliced back off at finalize and never reaches the store.
+    ip_aug = (
+        index.kind == "dense"
+        and index.metric == "ip"
+        and os.environ.get("PGV_BUILD_IP_AUG", "0") != "0"
+    )
+    build_vectors = vectors
+    if ip_aug:
+        if _is_device_array(vectors):
+            build_vectors = _augment_ip_device(vectors)
+            if consume_input:
+                # serving values re-derive from the augmented buffer
+                # (sliced at finalize); the original can free now
+                vectors.delete()
+                vectors = None
+        else:
+            x2h = np.sum(vectors.astype(np.float64) ** 2, axis=1)
+            m2 = float(x2h.max()) if len(x2h) else 0.0
+            aug = np.sqrt(np.maximum(m2 - x2h, 0.0)).astype(np.float32)
+            build_vectors = np.concatenate([vectors, aug[:, None]], axis=1)
     levels = index.random_levels(n)
     _phase("levels")
 
@@ -2671,9 +2735,9 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         (
             ("l2" if index.metric == "hamming" else "jacbits")
             if index.kind == "bit"
-            else index.metric
+            else ("l2" if ip_aug else index.metric)
         ),
-        vectors,
+        build_vectors,
         levels,
         index.params.m,
         index.params.ef_construction,
@@ -2693,6 +2757,8 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         # (1M bit beam recall 0.95 -> 0.72 measured, DESIGN.md 6n)
         ground=_bit_ground_pin(index),
     )
+    # finalize slices the augmentation column back off for serving
+    builder.serve_slice_dim = index.dim if ip_aug else None
 
     _phase("builder-init")
     kept_arr = (
@@ -2733,14 +2799,20 @@ def bulk_build(index, data, ids, host_graph: bool = True,
     if not host_graph:
         # serving-only: bulk-load the store, keep TIDs, and hand the
         # index a DeviceGraph built straight from the builder arrays
+        deferred_store = False
         if index.kind == "bit":
             index.store.bulk_load(bit_packed)
         elif isinstance(vectors, np.ndarray):
             index.store.bulk_load(vectors.astype(store_dtype))
         elif consume_input:
-            # the input buffer was freed; back the store with the
-            # builder's padded buffer (sliced to n on lazy download)
-            index.store.bulk_load_device(builder.data.vectors, count=n)
+            if ip_aug:
+                # the build buffer carries the augmentation column;
+                # back the store after the graph slices serving values
+                deferred_store = True
+            else:
+                # the input buffer was freed; back the store with the
+                # builder's padded buffer (sliced to n on lazy download)
+                index.store.bulk_load_device(builder.data.vectors, count=n)
         else:  # device-resident input: host copy only if ever needed
             index.store.bulk_load_device(vectors)
         index.heap_tids = heap_tids
@@ -2754,6 +2826,16 @@ def bulk_build(index, data, ids, host_graph: bool = True,
         )
         _phase("finalize.device-graph")
         g = index._device
+        if deferred_store:
+            if np.dtype(store_dtype) == np.dtype(g.values.dtype):
+                index.store.bulk_load_device(g.values, count=n)
+            else:
+                # f32 store with a compact serve dtype: materialize the
+                # un-augmented f32 rows for the store (the rebind block
+                # below governs whether a lossy rebind replaces them)
+                v32, _ = _slice_serve_jit(builder.vectors, index.dim)
+                index.store.bulk_load_device(v32, count=n)
+            _phase("finalize.deferred-store")
         if (
             index.kind == "dense"
             and g.values is not None
@@ -2806,6 +2888,23 @@ def bulk_build(index, data, ids, host_graph: bool = True,
     upper_nbrs = up_ids.reshape(u_pad, builder.lmax, builder.m)
     upper_dist = up_d.reshape(u_pad, builder.lmax, builder.m)
     upper_slot = np.asarray(builder.upper_slot)[: n]
+    if ip_aug:
+        # the graph was selected in the augmented-l2 surrogate; the
+        # host graph stores TRUE ip neighbor distances (insert's Alg-4
+        # re-pruning and vacuum's repair consume them)
+        orig_dev = _slice_cols_jit(builder.vectors, index.dim)
+        nbr0_dist = np.asarray(_edge_distances(
+            1, orig_dev, jnp.arange(n, dtype=jnp.int32),
+            jnp.asarray(neighbors0),
+        ))
+        if u_pad:
+            slot_src = np.zeros(u_pad, dtype=np.int32)
+            lv_mask = np.asarray(levels[:n]) >= 1
+            slot_src[upper_slot[lv_mask]] = np.nonzero(lv_mask)[0]
+            upper_dist = np.asarray(_edge_distances(
+                1, orig_dev, jnp.asarray(slot_src),
+                jnp.asarray(upper_nbrs.reshape(u_pad, -1)),
+            )).reshape(u_pad, builder.lmax, builder.m)
 
     for i in range(n):
         e = GraphElement(level=int(levels[i]))
@@ -3190,14 +3289,44 @@ def _emit_tables_device(absorb, counts, tids_i32, cap1: int,
     return jnp.where((absorb < 0) & (counts > 0), col, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("dt",))
-def _compact_values_jit(v32, dt):
+@functools.partial(jax.jit, static_argnames=("dt", "d"))
+def _compact_values_jit(v32, dt, d=None):
     """Compact serve-dtype values + x2 from the ROUNDED rows in ONE
     program (the f32 upcast fuses into the reduce — no [cap, D] f32
-    transient)."""
+    transient). ``d``: static column slice — drops an ip-augmentation
+    column (DESIGN 6t) with the slice fused into the cast, so the
+    un-augmented f32 rows never materialize."""
+    if d is not None:
+        v32 = v32[:, :d]
     v = v32.astype(dt)
     vf = v.astype(jnp.float32)
     return v, jnp.sum(vf * vf, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _slice_serve_jit(v32, d):
+    """Original-row serving values + x2 from an ip-augmented build
+    buffer (drop the augmentation column, DESIGN 6t)."""
+    v = v32[:, :d]
+    return v, jnp.sum(v * v, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _slice_cols_jit(v, d):
+    return v[:, :d]
+
+
+@jax.jit
+def _augment_ip_device(v):
+    """MIPS -> sphere-l2 build geometry (DESIGN 6t): append
+    sqrt(M^2 - |x|^2) so every row lands on the radius-M sphere, where
+    squared l2 = 2M^2 - 2<x',y'> is a true metric and Algorithm-4
+    neighbor selection behaves. Query-time ip ranking is EXACTLY
+    preserved: for q' = [q; 0], augmented-l2 order == ip order."""
+    x2 = jnp.sum(v * v, axis=1, keepdims=True)
+    m2 = jnp.max(x2)
+    aug = jnp.sqrt(jnp.maximum(m2 - x2, 0.0))
+    return jnp.concatenate([v, aug], axis=1)
 
 
 def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
@@ -3260,7 +3389,18 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
         from .device import _serve_dtype_for, _serve_value_arrays
 
         serve_dtype = _serve_dtype_for(index)
-        if serve_dtype == jnp.float32:
+        sd = getattr(builder, "serve_slice_dim", None)
+        if sd is not None and serve_dtype == jnp.float32:
+            # ip-augmented build (DESIGN 6t): serving rows are the
+            # original vectors — slice the augmentation column off and
+            # recompute x2 (the build x2 is the constant M^2 sphere)
+            v_s, x2_s = _slice_serve_jit(builder.vectors, sd)
+            value_kwargs = dict(
+                values=v_s,
+                x2=x2_s,
+                values_bf16=_slice_cols_jit(builder.data.vectors_bf16, sd),
+            )
+        elif serve_dtype == jnp.float32:
             value_kwargs = dict(
                 values=builder.vectors,
                 x2=builder.data.x2,
@@ -3274,7 +3414,8 @@ def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,
             # second FULL f32 copy (5.4 GB at 1.25M x 1024) and OOMed
             # the halfvec per-chip-shard finalize; here the f32 cast
             # fuses into the x2 reduce and never materializes.
-            v_c, x2_c = _compact_values_jit(builder.vectors, serve_dtype)
+            v_c, x2_c = _compact_values_jit(builder.vectors, serve_dtype,
+                                            d=sd)
             value_kwargs = dict(values=v_c, x2=x2_c, values_bf16=None)
     return DeviceGraph(
         kind=index.kind,

@@ -63,7 +63,16 @@ def main():
         _, gt = dm.serve_topk(
             index, queries, k, engine="exact", filter_mask=mask
         )
-        for mode in ("relaxed_order", "strict_order"):
+        # strict runs both arms: buffered holdback (default) vs the
+        # reference's drop-on-regression (PGV_STRICT_BUFFER=0) — the
+        # flag is host-side, read per scan instance, so in-process A/B
+        # is safe (no trace-time global capture)
+        for mode, buf in (
+            ("relaxed_order", "1"),
+            ("strict_order", "0"),
+            ("strict_order", "1"),
+        ):
+            os.environ["PGV_STRICT_BUFFER"] = buf
             params = SearchParams(ef_search=ef, iterative_scan=mode)
             correct = 0
             t0 = time.time()
@@ -74,7 +83,10 @@ def main():
                 got = [tid for tid, _ in sc.take(k)]
                 correct += len(set(got) & set(gt[b].tolist()))
             rec = correct / (n_q * k)
-            log(f"c={c} ({100/c:.1f}%) {mode} ef={ef} "
+            tag = "" if mode != "strict_order" else (
+                " buffered" if buf == "1" else " drop"
+            )
+            log(f"c={c} ({100/c:.1f}%) {mode}{tag} ef={ef} "
                 f"ground={os.environ.get('PGV_BUILD_GROUND', 'auto')}: "
                 f"recall@20={rec:.4f} "
                 f"[{(time.time()-t0)/n_q*1e3:.0f} ms/q]")

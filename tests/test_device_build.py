@@ -534,3 +534,32 @@ def test_ground_auto_is_dim_aware(monkeypatch):
     assert builder("cosine", 768).ivf is False
     assert builder("ip", 1024).ivf is False
     assert builder("l1", 128).ivf is False
+
+
+def test_shape_floors_match_builder(monkeypatch):
+    """shape_floors_for must predict the EXACT upper-table pads a
+    DeviceBuilder picks for the same level draws — the invariant that
+    keeps bench.py's warmup build compiling the main build's program
+    set (a missed pad bucket re-pays a 45-171s compile INSIDE the
+    timed build; DESIGN.md 6t)."""
+    from pgvector_rx_tpu.graph import device_build as db
+    from pgvector_rx_tpu.index.hnsw import HnswIndex
+
+    for env in ("PGV_BUILD_UPPER_FLOOR", "PGV_BUILD_SUB_FLOORS",
+                "PGV_BUILD_CAP_FLOOR"):
+        monkeypatch.delenv(env, raising=False)
+    n, dim = 5000, 8
+    idx = HnswIndex(dim, metric="l2", seed=3)
+    lv = idx.random_levels(n)
+    uf, subs = db.shape_floors_for(n, idx.params.m, lv)
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    b = db.DeviceBuilder("l2", vecs, lv.copy(), idx.params.m,
+                         idx.params.ef_construction)
+    assert b.data.upper_vectors.shape[0] == uf, (
+        b.data.upper_vectors.shape, uf
+    )
+    sub_pads = [int(x) for x in subs.split(",") if x]
+    assert len(sub_pads) == len(b.data.upper_sub)
+    for want, (ids_l, _, _) in zip(sub_pads, b.data.upper_sub):
+        assert ids_l.shape[0] == want, (ids_l.shape, want)

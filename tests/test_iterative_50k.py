@@ -137,3 +137,41 @@ class TestIterative044:
         r = _scan_recall(indexes[metric], queries, mask, expected, mode,
                          "beam")
         assert r >= 0.99, f"beam {metric} c={c} {mode}: {r}"
+
+
+class TestStrictBuffered:
+    """Buffered strict order on the device beam scan (DESIGN 6r
+    addendum): under strict_order, emissions wait in a holdback buffer
+    until the spill watermark passes them, so cross-segment
+    out-of-order arrivals are re-ordered instead of permanently
+    dropped (the reference's scan.rs:801-806 semantics, restored by
+    PGV_STRICT_BUFFER=0). Contract: (a) the emitted distance stream is
+    nondecreasing — the strict_order invariant survives buffering;
+    (b) recall is >= the drop-semantics arm on the same scans."""
+
+    def _run(self, idx, queries, mask, expected):
+        params = SearchParams(ef_search=40, iterative_scan="strict_order")
+        correct, mono = 0, True
+        for b in range(NQ):
+            scan = idx.scan(queries[b], params, method="beam",
+                            filter_mask=mask)
+            got = scan.take(K)
+            ds = [d for _, d in got]
+            mono = mono and all(
+                x <= y + 1e-9 for x, y in zip(ds, ds[1:])
+            )
+            correct += sum(1 for t, _ in got if t in expected[b])
+        return correct / (NQ * K), mono
+
+    def test_buffered_monotone_and_no_worse(self, corpus, monkeypatch):
+        indexes, data, queries = corpus
+        mask = (np.arange(N) % 500) == 0  # 0.2% — the regression regime
+        expected = _expected_sets(data, queries, "l2", mask)
+        idx = indexes["l2"]
+        monkeypatch.setenv("PGV_STRICT_BUFFER", "0")
+        r_drop, mono_drop = self._run(idx, queries, mask, expected)
+        monkeypatch.setenv("PGV_STRICT_BUFFER", "1")
+        r_buf, mono_buf = self._run(idx, queries, mask, expected)
+        assert mono_drop and mono_buf, "strict emission must be ordered"
+        assert r_buf >= r_drop - 1e-9, (r_buf, r_drop)
+        assert r_buf >= 0.99, r_buf
