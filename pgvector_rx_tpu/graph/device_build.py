@@ -2728,6 +2728,11 @@ def bulk_build(index, data, ids, host_graph: bool = True,
             m2 = float(x2h.max()) if len(x2h) else 0.0
             aug = np.sqrt(np.maximum(m2 - x2h, 0.0)).astype(np.float32)
             build_vectors = np.concatenate([vectors, aug[:, None]], axis=1)
+            lane_pad = (-build_vectors.shape[1]) % 128
+            if lane_pad:  # see _augment_ip_device: layout, not padding
+                build_vectors = np.pad(
+                    build_vectors, ((0, 0), (0, lane_pad))
+                )
     levels = index.random_levels(n)
     _phase("levels")
 
@@ -3326,7 +3331,16 @@ def _augment_ip_device(v):
     x2 = jnp.sum(v * v, axis=1, keepdims=True)
     m2 = jnp.max(x2)
     aug = jnp.sqrt(jnp.maximum(m2 - x2, 0.0))
-    return jnp.concatenate([v, aug], axis=1)
+    out = jnp.concatenate([v, aug], axis=1)
+    # zero-pad to the next lane multiple: an odd width (1025) flips
+    # XLA's matmul-operand layout choice and it materializes a
+    # TRANSPOSED full-corpus copy inside the build program (measured:
+    # +5.04G col-major f32 + 2.52G col-major bf16 at 1.25M x 1025 —
+    # OOM on a 16G chip); zero columns are distance-neutral
+    lane_pad = (-out.shape[1]) % 128
+    if lane_pad:
+        out = jnp.pad(out, ((0, 0), (0, lane_pad)))
+    return out
 
 
 def _device_graph_from_builder(index, builder: DeviceBuilder, heap_tids,

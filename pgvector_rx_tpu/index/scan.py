@@ -355,19 +355,22 @@ class DeviceBeamScan:
     regress exactly like the reference's relaxed_order; strict_order
     suppresses out-of-order emissions (scan.rs:801-806).
 
-    Buffered strict order (default on; ``PGV_STRICT_BUFFER=0`` restores
+    Windowed strict order (default on; ``PGV_STRICT_BUFFER=0`` restores
     the reference's drop-on-regression semantics): under strict_order,
-    emissions are held in a sorted buffer and released only once their
-    distance is <= the spill buffer's minimum — the nearest known
-    unexplored candidate, a practical lower bound on what future
-    segments can deliver. The emitted stream is still nondecreasing
-    (the strict contract), but candidates that would arrive out of
-    order across segments are re-ordered instead of permanently
-    dropped; only sub-spill-min regressions (graph expansion finding a
-    nearer item than all known fuel) are still dropped. Measured at
-    4M x 128-d / 0.2% selectivity: strict recall 0.80 -> see DESIGN 6r
-    addendum. Latency cost: results are delayed until the spill
-    watermark passes them (typically < one segment).
+    emissions are held in a sorted buffer and the global minimum is
+    released only once the buffer holds more than L segments' worth of
+    results (L = PGV_STRICT_BUFFER, default 4) — a sliding reorder
+    window. A spill-watermark rule does NOT work here: the spill
+    minimum is >= the emitted beam max by construction (anything
+    nearer would be in the beam), so it never holds anything back; the
+    order regressions are later segments DISCOVERING items below the
+    watermark while exploring the spill, and they are overwhelmingly
+    near-term — an L-segment window reorders them instead of
+    permanently dropping them (scan.rs:801-806). The emitted stream
+    stays nondecreasing (the strict contract); regressions deeper than
+    L segments are still dropped by the strict filter. Latency cost:
+    the first result waits ~L+1 segments; steady-state emission rate
+    is unchanged.
 
     ``filter_mask`` (element-id bool mask): masked elements consume
     tuple budget and are dropped at emission, the reference's
@@ -433,11 +436,12 @@ class DeviceBeamScan:
         self._buf: list = []  # pending (dist, element id), nearest first
         self._current: Optional[tuple] = None  # (dist, [remaining tids])
         self._spill_host: Optional[list] = None  # drain-mode buffer
-        # strict-order holdback heap of (dist, id): emissions wait here
-        # until the spill watermark proves no nearer arrival is coming
+        # strict-order holdback heap of (dist, id): the sliding reorder
+        # window (see class docstring)
         self._hold: list = []
-        self._strict_buffer = os.environ.get("PGV_STRICT_BUFFER", "1") != "0"
-        self._spill_min_val: Optional[float] = None  # per-segment cache
+        self._strict_window = max(
+            int(os.environ.get("PGV_STRICT_BUFFER", "4")), 0
+        )
         self._pending = None  # dispatched-but-undownloaded segment
         self._first = True
         self.tuples = 0
@@ -470,7 +474,6 @@ class DeviceBeamScan:
         # of the mask)
         self._excluded = dm._mark_excluded(self._excluded, beam_ids)
         self._seeds = (sp_ids, sp_d)
-        self._spill_min_val = None  # spill advanced; re-read lazily
         self._pending = (beam_d, beam_ids, sp_ids, steps)
 
     def prefetch(self) -> None:
@@ -509,22 +512,6 @@ class DeviceBeamScan:
             if not (sp_ids_h >= 0).any():
                 self._exhausted = True
 
-    def _spill_min(self) -> float:
-        """Distance of the nearest still-unexplored candidate — the
-        holdback threshold for buffered strict order. Spill entries are
-        the nearest known fuel for future segments; graph expansion can
-        beat this bound, but rarely (those are the only regressions the
-        buffered mode still drops)."""
-        if self._spill_host is not None:  # drain mode: host copy rules
-            return self._spill_host[0][0] if self._spill_host else np.inf
-        if self._seeds is None or self._exhausted:
-            return np.inf
-        if self._spill_min_val is None:
-            # spill is sorted nearest-first on device; ONE scalar
-            # readback per segment (cached until the spill advances)
-            self._spill_min_val = float(np.asarray(self._seeds[1][0]))
-        return self._spill_min_val
-
     def _drain_one(self) -> None:
         """Budget exhausted: emit spilled candidates one at a time
         without further graph work (scan.rs:828-841 analog)."""
@@ -543,7 +530,7 @@ class DeviceBeamScan:
         sqrt_out = self.index.metric == "l2"
         strict = self.params.iterative_scan == HNSW_ITERATIVE_SCAN_STRICT
         iterative = self.params.iterative_scan != HNSW_ITERATIVE_SCAN_OFF
-        buffered = strict and self._strict_buffer
+        buffered = strict and self._strict_window > 0
         while True:
             if self._current is not None:
                 dist, tids = self._current
@@ -566,11 +553,18 @@ class DeviceBeamScan:
 
             ready = None
             if buffered:
-                # emit only once the spill watermark proves order (a
-                # dispatched-but-unconsumed segment is consumed first —
-                # its arrivals belong in the holdback comparison)
+                # sliding reorder window: emit the global minimum only
+                # once the hold exceeds L segments' worth of results
+                # (0 in drain mode: pure sorted merge with the spill).
+                # A dispatched-but-unconsumed segment is consumed first
+                # — its arrivals belong in the reorder comparison.
+                cap = (
+                    0
+                    if self._spill_host is not None
+                    else self._strict_window * self._ef
+                )
                 if self._hold and self._pending is None and (
-                    self._exhausted or self._hold[0][0] <= self._spill_min()
+                    self._exhausted or len(self._hold) > cap
                 ):
                     ready = heapq.heappop(self._hold)
             elif self._buf:

@@ -63,14 +63,17 @@ def main():
         _, gt = dm.serve_topk(
             index, queries, k, engine="exact", filter_mask=mask
         )
-        # strict runs both arms: buffered holdback (default) vs the
-        # reference's drop-on-regression (PGV_STRICT_BUFFER=0) — the
-        # flag is host-side, read per scan instance, so in-process A/B
-        # is safe (no trace-time global capture)
+        # strict sweeps the reorder window: 0 = the reference's
+        # drop-on-regression semantics, L>=1 = L-segment sliding
+        # window (PGV_STRICT_BUFFER). The flag is host-side, read per
+        # scan instance, so in-process A/B is safe (no trace-time
+        # global capture)
         for mode, buf in (
-            ("relaxed_order", "1"),
+            ("relaxed_order", "0"),
             ("strict_order", "0"),
             ("strict_order", "1"),
+            ("strict_order", "2"),
+            ("strict_order", "4"),
         ):
             os.environ["PGV_STRICT_BUFFER"] = buf
             params = SearchParams(ef_search=ef, iterative_scan=mode)
@@ -84,7 +87,7 @@ def main():
                 correct += len(set(got) & set(gt[b].tolist()))
             rec = correct / (n_q * k)
             tag = "" if mode != "strict_order" else (
-                " buffered" if buf == "1" else " drop"
+                f" window={buf}" if buf != "0" else " drop"
             )
             log(f"c={c} ({100/c:.1f}%) {mode}{tag} ef={ef} "
                 f"ground={os.environ.get('PGV_BUILD_GROUND', 'auto')}: "

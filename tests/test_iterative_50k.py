@@ -140,14 +140,15 @@ class TestIterative044:
 
 
 class TestStrictBuffered:
-    """Buffered strict order on the device beam scan (DESIGN 6r
-    addendum): under strict_order, emissions wait in a holdback buffer
-    until the spill watermark passes them, so cross-segment
-    out-of-order arrivals are re-ordered instead of permanently
-    dropped (the reference's scan.rs:801-806 semantics, restored by
-    PGV_STRICT_BUFFER=0). Contract: (a) the emitted distance stream is
-    nondecreasing — the strict_order invariant survives buffering;
-    (b) recall is >= the drop-semantics arm on the same scans."""
+    """Windowed strict order on the device beam scan (DESIGN 6r
+    addendum): under strict_order, emissions wait in an L-segment
+    sliding reorder window (L = PGV_STRICT_BUFFER, default 2), so
+    near-term cross-segment out-of-order arrivals are re-ordered
+    instead of permanently dropped (the reference's scan.rs:801-806
+    semantics, restored by PGV_STRICT_BUFFER=0). Contract: (a) the
+    emitted distance stream is nondecreasing — the strict_order
+    invariant survives the window; (b) recall is >= the drop-semantics
+    arm on the same scans."""
 
     def _run(self, idx, queries, mask, expected):
         params = SearchParams(ef_search=40, iterative_scan="strict_order")
@@ -170,7 +171,7 @@ class TestStrictBuffered:
         idx = indexes["l2"]
         monkeypatch.setenv("PGV_STRICT_BUFFER", "0")
         r_drop, mono_drop = self._run(idx, queries, mask, expected)
-        monkeypatch.setenv("PGV_STRICT_BUFFER", "1")
+        monkeypatch.setenv("PGV_STRICT_BUFFER", "2")
         r_buf, mono_buf = self._run(idx, queries, mask, expected)
         assert mono_drop and mono_buf, "strict emission must be ordered"
         assert r_buf >= r_drop - 1e-9, (r_buf, r_drop)
